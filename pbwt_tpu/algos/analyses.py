@@ -1,0 +1,185 @@
+"""Small built-in analyses hosted in the reference's pbwtMain.c:
+prettyPlot (:60-78), exportSiteInfo (:82-100), siteFrequencySpectrum
+(:104-143), and imputeExplore's dosage playground."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core import engine
+from ..core.pbwt import PBWT
+from ..utils import log, time_update
+
+
+def pretty_plot(p: PBWT, fp, K: int) -> None:
+    Y = p.decoded(True)
+    a = p.aFstart.copy()
+    for i in range(K):
+        a = engine.forwards_a(a, Y[i])
+    hap = p.haplotypes()
+    for j in range(p.M):
+        row = hap[a[j]]
+        fp.write("".join("01"[v] for v in row[K - 100:K]))
+        fp.write(f" {'01'[row[K]]} ")
+        fp.write("".join("01"[v] for v in row[K + 1:K + 20]))
+        fp.write("\n")
+
+
+def export_site_info(p: PBWT, fp, f1: int, f2: int) -> None:
+    """Print d[] and y[] for sites with f1 <= allele-count < f2."""
+    Y = p.decoded(True)
+    a = p.aFstart.copy()
+    d = np.zeros(p.M + 1, dtype=np.int32)
+    d[0] = 1
+    d[p.M] = 1
+    n = 0
+    for i in range(p.N):
+        y = Y[i]
+        f = int(np.count_nonzero(y))
+        if f1 <= f < f2:
+            fp.write(" ".join(f"{int(y[j])} {i - int(d[j])}" for j in range(p.M)))
+            fp.write(" \n")
+            n += 1
+        a, d = engine.forwards_ad(a, d, y, i)
+    log(f"{n} rows exported with allele count f, {f1} <= f < {f2}")
+
+
+SFS_THRESH = [1, 2, 3, 4, 5, 6, 7, 8, 9,
+              10, 20, 30, 40, 50, 60, 70, 80, 90,
+              100, 200, 300, 400, 500, 600, 700, 800, 900,
+              1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000,
+              10000, 20000, 30000, 40000, 50000, 60000, 70000, 80000, 90000,
+              100000, 200000, 300000, 400000, 500000, 600000, 700000, 800000,
+              900000, 1000000]
+
+
+def site_frequency_spectrum(p: PBWT) -> None:
+    """siteFrequencySpectrum (pbwtMain.c:104-143): log-binned SFS; also fills
+    Site.freq and writes sites.freq when sites are present."""
+    time_update()
+    Y = p.decoded(True)
+    counts1 = (Y != 0).sum(axis=1)
+    hist = np.bincount(counts1, minlength=p.M + 1)
+    if p.sites is not None:
+        from ..core import registry
+        with open("sites.freq", "w") as fp:
+            for i, s in enumerate(p.sites):
+                s.freq = 1.0 - (p.M - int(counts1[i])) / p.M
+                fp.write(f"{p.chrom}\t{s.x}\t{s.freq:.6f}\t"
+                         f"{registry.variation_dict.name(s.varD)}\n")
+    n = 0
+    j = 0
+    out = sys.stdout
+    for i in range(1, p.M):
+        n += int(hist[i]) if i < len(hist) else 0
+        if i == SFS_THRESH[j]:
+            out.write(f"{SFS_THRESH[j]}\t{n}\n")
+            j += 1
+            n = 0
+    out.write(f"{SFS_THRESH[j]}\t{n}\n")
+
+
+def impute_explore(p: PBWT, test: int) -> None:
+    """imputeExplore (pbwtImpute.c:35-161): neighbour-concordance statistics
+    used to explore imputability; supports tests 1-4."""
+    import math
+    M, N = p.M, p.N
+    f_bound = [0.1, 0.2, 0.3, 0.5, 0.7, 1, 2, 3, 5, 7, 10, 20, 30, 50, 70, 90, 100.01]
+    stats = [dict(n00=0, n01=0, n10a=0, n10b=0, n11a=0, n11b=0, n20=0, n21=0,
+                  fsum=0.0) for _ in range(17)]
+    c0 = np.zeros((17, 5), dtype=np.int64)
+    c1 = np.zeros((17, 5), dtype=np.int64)
+
+    p.build_reverse()
+    Y = p.decoded(True)
+    Z = p.decoded(False)
+    a = p.aFstart.copy()
+    d = np.zeros(M + 1, np.int32)
+    d[0] = 1
+    d[M] = 1
+    # reverse cursor runs backwards from the end of the reverse pbwt
+    az = p.aRend.copy()
+    n0 = np.zeros(M, np.int64)
+    n1 = np.zeros(M, np.int64)
+    x = np.zeros(M, np.uint8)
+    zpos = N
+    for k in range(N):
+        # read reverse backwards: column zpos-1
+        zpos -= 1
+        yz = Z[zpos]
+        cz = int(np.count_nonzero(yz == 0))
+        az = engine.backwards_a(az, yz, cz)
+        if 0.2 * N < k < 0.8 * N:
+            y = Y[k]
+            f = float(np.count_nonzero(y)) / M
+            ff = 0
+            while f * 100 > f_bound[ff]:
+                ff += 1
+            t = stats[ff]
+            t["fsum"] += f
+            n0[:] = 0
+            n1[:] = 0
+            ym = y[:-2].astype(np.int64)
+            yp_ = y[2:].astype(np.int64)
+            yc = y[1:-1].astype(np.int64)
+            both1 = (ym == 1) & (yp_ == 1)
+            both0 = (ym == 0) & (yp_ == 0)
+            da = d[1:M - 1]
+            db = d[2:M]
+            lower0 = ((ym == 0) & (da < db)) | ((yp_ == 0) & (db < da))
+            t["n21"] += int((both1 & (yc == 1)).sum())
+            t["n20"] += int((both1 & (yc == 0)).sum())
+            t["n01"] += int((both0 & (yc == 1)).sum())
+            t["n00"] += int((both0 & (yc == 0)).sum())
+            mixed = ~both1 & ~both0
+            t["n11a"] += int((mixed & lower0 & (yc == 1)).sum())
+            t["n10a"] += int((mixed & lower0 & (yc == 0)).sum())
+            t["n11b"] += int((mixed & ~lower0 & (yc == 1)).sum())
+            t["n10b"] += int((mixed & ~lower0 & (yc == 0)).sum())
+            idx_f = a[1:M - 1]
+            np.add.at(n0, idx_f, 2 - (ym + yp_))
+            np.add.at(n1, idx_f, ym + yp_)
+            zm = yz[:-2].astype(np.int64)
+            zp2 = yz[2:].astype(np.int64)
+            idx_r = az[1:M - 1]
+            np.add.at(n0, idx_r, 2 - (zm + zp2))
+            np.add.at(n1, idx_r, zm + zp2)
+            x[a[1:M - 1]] = y[1:M - 1]
+            complete = (n0 + n1) == 4
+            for i in np.flatnonzero(complete):
+                if x[i]:
+                    c1[ff][n1[i]] += 1
+                else:
+                    c0[ff][n1[i]] += 1
+        a, d = engine.forwards_ad(a, d, Y[k], k)
+
+    out = sys.stdout
+    if test == 1:
+        for jj in range(17):
+            t = stats[jj]
+            tot = (t["n00"] + t["n01"] + t["n10a"] + t["n11a"] + t["n10b"]
+                   + t["n11b"] + t["n20"] + t["n21"])
+            out.write(f"{f_bound[jj]:<5.1f}\t{(t['fsum'] / tot if tot else 0.0):<7.3f}"
+                      f"\t00,01\t{t['n00']}\t{t['n01']}\t10a,11a\t{t['n10a']}\t"
+                      f"{t['n11a']}\t10b,11b\t{t['n10b']}\t{t['n11b']}\t20,21\t"
+                      f"{t['n20']}\t{t['n21']}")
+            if tot:
+                xbar = (t["n10b"] + t["n11b"] + t["n20"] + t["n21"]) / tot
+                ybar = (t["n01"] + t["n11a"] + t["n11b"] + t["n21"]) / tot
+                denom = math.sqrt((xbar - xbar ** 2) * (ybar - ybar ** 2))
+                r2 = ((t["n21"] + t["n11b"]) / tot - xbar * ybar) / denom if denom else 0.0
+                out.write(f"\tx,y,r2\t{xbar:.4f}\t{ybar:.4f}\t{r2:.4f}\n")
+            else:
+                out.write("\n")
+    elif test == 4:
+        for jj in range(17):
+            out.write(f"{f_bound[jj]:<5.1f}")
+            tot = int(c0[jj].sum() + c1[jj].sum())
+            out.write(f"\t{(stats[jj]['fsum'] / tot if tot else 0.0):<7.3f}")
+            for i in range(5):
+                ssum = int(c0[jj][i] + c1[jj][i])
+                out.write(f"\t{ssum} ")
+                out.write(f" {c1[jj][i] / ssum:.3f}" if ssum else " 00000")
+            out.write("\n")

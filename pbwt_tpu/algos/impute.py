@@ -1,0 +1,486 @@
+"""Imputation: dosage codec, reference imputation by weighted maximal-match
+voting, missing-data imputation and genotype comparison (pbwtImpute.c)."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+
+from ..core import engine, pack3 as p3, registry
+from ..core.pbwt import PBWT, Site
+from ..utils import log, time_update
+from . import match as matchmod
+
+F_BOUND = [0.1, 0.2, 0.3, 0.5, 0.7, 1, 2, 3, 5, 7, 10, 20, 30, 50, 70, 90, 100.01]
+
+
+# --------------------------------------------------------------------------
+# dosage codec (pbwtImpute.c:1631-1700)
+# --------------------------------------------------------------------------
+
+_DOSAGE_VALUE = np.array([0.0, 0.05, 0.15, 0.25, 0.35, 0.45, 0.0, 0.0,
+                          1.0, 0.95, 0.85, 0.75, 0.65, 0.55, 1.0, 1.0])
+
+
+def dosage_encode(d: np.ndarray) -> np.ndarray:
+    """Quantise posterior probs to 6 levels relative to the allele value."""
+    d = np.asarray(d, dtype=np.float64)
+    dd = np.where(d > 0.5, 1.0 - d, d)
+    enc = np.where(dd == 0.0, 0, (10.0 * (dd + 0.0999999)).astype(np.int64))
+    return enc.astype(np.uint8)
+
+
+def _dosage_emit(out: bytearray, d: int, count: int) -> None:
+    """dosageStore (pbwtImpute.c:1643-1657)."""
+    if d == 0:
+        while count >= (1 << 15):
+            out.append(0xFF)
+            count -= 31 << 10
+        if count >= (1 << 10):
+            out.append((7 << 5) | (count >> 10))
+            count &= 1023
+        if count >= (1 << 5):
+            out.append((6 << 5) | (count >> 5))
+            count &= 31
+        out.append(count)
+    else:
+        while count >= (1 << 5):
+            out.append((d << 5) | 31)
+            count -= 31
+        out.append((d << 5) | count)
+
+
+def dosage_store(p: PBWT, dosage: np.ndarray, k: int,
+                 zbuf: bytearray, offsets: list[int]) -> None:
+    """pbwtDosageStore: append RLE-coded quantised dosages for site k."""
+    while len(offsets) <= k:
+        offsets.append(0)
+    offsets[k] = len(zbuf)
+    enc = dosage_encode(dosage)
+    syms, lens = p3._runs(enc)
+    for s, n in zip(syms.tolist(), lens.tolist()):
+        _dosage_emit(zbuf, int(s), int(n))
+
+
+def dosage_retrieve(p: PBWT, y: np.ndarray, k: int) -> np.ndarray:
+    """pbwtDosageRetrieve: decode site k's dosages (sorted order, needs y)."""
+    if p.dosageOffset is None:
+        raise ValueError("dosageRetrieve called without p->dosageOffset")
+    z = p.zDosage
+    off = int(p.dosageOffset[k])
+    out = np.empty(p.M, dtype=np.float64)
+    i = 0
+    while i < p.M:
+        b = z[off]
+        off += 1
+        x = b >> 5
+        count = b & 0x1F
+        if x == 6:
+            count <<= 5
+        elif x == 7:
+            count <<= 10
+        idx = x + (y[i:i + count].astype(np.int64) << 3)
+        out[i:i + count] = _DOSAGE_VALUE[idx]
+        i += count
+    return out
+
+
+# --------------------------------------------------------------------------
+# reference imputation (referenceImpute3, pbwtImpute.c:1126-1261)
+# --------------------------------------------------------------------------
+
+def _collect_matches(p_frame: PBWT, p_old: PBWT, self_impute: bool):
+    """Collect maximal matches per target haplotype as (jRef, start, end)."""
+    max_match: list[list[tuple[int, int, int]]] = [[] for _ in range(p_old.M)]
+
+    def report(iq, j_ref, start, end):
+        max_match[iq].append((j_ref, start, end))
+
+    if self_impute:
+        matchmod.match_maximal_within(p_frame, lambda ai, bi, s, e:
+                                      max_match[ai].append((bi, s, e)))
+    else:
+        matchmod.match_sequences_sweep(p_frame, p_old, report)
+    return max_match
+
+
+def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
+                      n_sparse: int = 1, f_sparse: float = 1.0) -> PBWT:
+    log("Reference impute using maximal matches: ")
+    self_impute = p_old is p_frame
+    max_match = _collect_matches(p_frame, p_old, self_impute)
+    N_old = p_old.N
+    for j in range(p_old.M):
+        max_match[j].sort(key=lambda m: m[1])
+        last_ref = max_match[j][-1][0] if max_match[j] else 0
+        max_match[j].append((last_ref, N_old, N_old + 1))   # end marker
+        if registry.is_check:
+            log(f"{len(max_match[j])} matches found to query {j}")
+
+    YOld = p_old.decoded(True)
+    YRef = p_ref.decoded(True)
+    a_old = p_old.aFstart.copy()
+    a_ref = p_ref.aFstart.copy()
+    p_new = PBWT(p_old.M, p_ref.N)
+    p_new.isRefFreq = True
+    u_new = engine.WriteCursor(p_old.M)
+    zdosage = bytearray()
+    dosage_offsets: list[int] = [0] * p_ref.N
+    n_conflicts = 0
+    first_seg = [0] * p_old.M
+    vd = registry.variation_dict
+    frame_keys = [(s.x, s.varD) for s in p_frame.sites]
+    ref_sites = p_ref.sites
+
+    k_old = 0
+    for k_ref in range(p_ref.N):
+        rs = ref_sites[k_ref]
+        if (k_old < len(frame_keys) and rs.x == frame_keys[k_old][0]
+                and rs.varD == frame_keys[k_old][1]):
+            a_old = engine.forwards_a(a_old, YOld[k_old])
+            k_old += 1
+            for j in range(p_old.M):
+                mm = max_match[j]
+                while k_old >= mm[first_seg[j]][2]:
+                    first_seg[j] += 1
+        y_ref = YRef[k_ref]
+        a_ref_inv = np.empty(p_ref.M, dtype=np.int64)
+        a_ref_inv[a_ref] = np.arange(p_ref.M)
+        rs.refFreq = float(np.count_nonzero(y_ref)) / p_ref.M
+        missing = None
+        if self_impute:
+            if p_ref.missingOffset is None or not p_ref.missingOffset[k_ref]:
+                missing = np.zeros(p_ref.M, dtype=np.uint8)
+            else:
+                off = int(p_ref.missingOffset[k_ref])
+                runs_sym, runs_len = _unpack_one(p_ref.zMissing, off, p_ref.M)
+                missing = np.repeat(runs_sym, runs_len)
+        x = np.zeros(p_old.M, dtype=np.uint8)
+        x_dosage = np.zeros(p_old.M, dtype=np.float64)
+        psum = xsum = pxsum = 0.0
+        n = 0
+        y_ref_nat = y_ref[a_ref_inv]       # reference alleles in natural order
+        for j in range(p_old.M):
+            if self_impute and not missing[j]:
+                x[j] = y_ref_nat[j]
+                x_dosage[j] = float(x[j])
+                continue
+            mm = max_match[j]
+            mi = first_seg[j]
+            ssum = 0.0
+            score = 0.0
+            while mi < len(mm) and mm[mi][1] < k_old:
+                j_ref, start, end = mm[mi]
+                bit = (k_old - start) * (end - k_old)
+                if bit > 0:
+                    ssum += bit
+                    if y_ref_nat[j_ref]:
+                        score += bit
+                mi += 1
+            if ssum == 0:
+                x[j] = 1 if rs.refFreq > 0.5 else 0
+                x_dosage[j] = rs.refFreq
+                n_conflicts += 1
+            else:
+                pj = score / ssum
+                x[j] = 1 if pj > 0.5 else 0
+                x_dosage[j] = pj
+                psum += pj
+                xsum += x[j]
+                pxsum += pj * x[j]
+                n += 1
+        y_new = x[u_new.a]
+        y_dosage = x_dosage[u_new.a]
+        u_new.write_forwards(y_new)
+        dosage_offsets[k_ref] = len(zdosage)
+        enc = dosage_encode(y_dosage)
+        syms, lens = p3._runs(enc)
+        for s_, n_ in zip(syms.tolist(), lens.tolist()):
+            _dosage_emit(zdosage, int(s_), int(n_))
+        if n:
+            psum /= n
+            xsum /= n
+            pxsum /= n
+            var_prod = psum * (1 - psum) * xsum * (1 - xsum)
+            rs.imputeInfo = ((pxsum - psum * psum) / math.sqrt(var_prod)
+                             if var_prod else 1.0)
+        a_ref = engine.forwards_a(a_ref, y_ref)
+
+    p_new.set_from_write_cursor(u_new, p_ref.N)
+    p_new.zDosage = bytes(zdosage)
+    p_new.dosageOffset = np.array(dosage_offsets, dtype=np.int64)
+    if n_conflicts:
+        log(f"{n_conflicts} times where no overlapping matches because query "
+            "does not match any reference - set imputed value to 0")
+    return p_new
+
+
+def _unpack_one(z: bytes, off: int, M: int):
+    """Decode one pack3 column starting at byte offset off."""
+    syms = []
+    lens = []
+    m = 0
+    while m < M:
+        b = z[off]
+        off += 1
+        n = int(p3.P3DECODE[b & 0x7F])
+        syms.append(b >> 7)
+        lens.append(n)
+        m += n
+    return np.array(syms, np.uint8), np.array(lens, np.int64)
+
+
+def reference_impute(p_old: PBWT, root: str, n_sparse: int = 1,
+                     f_sparse: float = 1.0) -> PBWT:
+    """referenceImpute (pbwtImpute.c:1265-1319)."""
+    from ..io import pbwtfile
+    log(f"impute against reference {root}")
+    if p_old is None or not p_old.yz or p_old.sites is None:
+        raise ValueError("referenceImpute called without existing pbwt with sites")
+    p_ref = pbwtfile.read_all(root)
+    if p_ref.sites is None:
+        raise ValueError(f"new pbwt {root} in referencePhase has no sites")
+    if p_old.chrom != p_ref.chrom:
+        raise ValueError(f"mismatching chrom in referenceImpute: old "
+                         f"{p_ref.chrom}, new {p_old.chrom}")
+    p_frame = p_ref.select_sites(p_old.sites, keep_old=True)
+    if p_frame.N == p_ref.N:
+        log("No additional sites to impute in referenceImpute")
+        return p_old
+    p_frame.build_reverse()
+    p_old = p_old.select_sites_fill_missing(p_ref.sites, keep_old=False)
+    if not p_old.N:
+        raise ValueError("no overlapping sites in referenceImpute")
+    log("Imputation preliminaries: ")
+    time_update()
+    p_new = reference_impute3(p_old, p_ref, p_frame, n_sparse, f_sparse)
+    p_new.sites = p_ref.sites
+    p_new.chrom = p_ref.chrom
+    p_new.samples = p_old.samples
+    return p_new
+
+
+def impute_missing(p_old: PBWT) -> PBWT:
+    """imputeMissing (pbwtImpute.c:1323-1371): frame = complete-data sites."""
+    if p_old.missingOffset is None:
+        log("imputeMissing called but can't find missing data")
+        return p_old
+    complete = [p_old.sites[k] for k in range(p_old.N) if not p_old.missingOffset[k]]
+    p_frame = p_old.select_sites(complete, keep_old=True)
+    p_frame.missingOffset = p_old.missingOffset  # unused for frame matching
+    # special mode of impute3: pOld == pFrame, pRef = the original panel
+    p_new = reference_impute3(p_frame, p_old, p_frame, 1, 0)
+    p_new.sites = p_old.sites
+    p_new.samples = p_old.samples
+    p_new.chrom = p_old.chrom
+    return p_new
+
+
+# --------------------------------------------------------------------------
+# genotype comparison (genotypeCompare, pbwtImpute.c:1375-1488)
+# --------------------------------------------------------------------------
+
+def genotype_compare(p: PBWT, root: str) -> None:
+    from ..io import pbwtfile
+    log(f"compare genotypes to reference {root}")
+    if p is None or not p.yz or p.sites is None:
+        raise ValueError("genotypeCompare called without existing pbwt with sites")
+    p_ref = pbwtfile.read_all(root)
+    if p.chrom != p_ref.chrom:
+        raise ValueError(f"mismatch chrom {p.chrom} to ref {p_ref.chrom}")
+    if p_ref.sites is None:
+        raise ValueError(f"new pbwt {root} in genotypeCompare has no sites")
+    if p.M != p_ref.M:
+        raise ValueError(f"mismatch of old M {p.M} to ref M {p_ref.M}")
+    if p.N == p_ref.N:
+        _genotype_compare_pbwt(p, p_ref)
+    else:
+        log(f"mismatch of old N {p.N} to ref N {p_ref.N}")
+        p_frame = p.select_sites(p_ref.sites, keep_old=True)
+        p_ref = p_ref.select_sites(p.sites, keep_old=False)
+        if not p_frame.N:
+            raise ValueError("no overlapping sites in genotypeCompare")
+        _genotype_compare_pbwt(p_frame, p_ref)
+
+
+def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
+    out = sys.stdout
+    n = np.zeros((17, 9), dtype=np.int64)
+    fsum = np.zeros(17)
+    nsum = np.zeros(17, dtype=np.int64)
+    isum = np.zeros(17)
+    ni = np.zeros(17, dtype=np.int64)
+    ns = np.zeros((p.M, 9), dtype=np.int64)
+    is_ref_freq = False
+    is_dosage = p.dosageOffset is not None
+    nd = np.zeros(12, dtype=np.int64)
+    nd1 = np.zeros(12, dtype=np.int64)
+
+    Xp = p.haplotypes()
+    Xq = q.haplotypes()
+    Yp = p.decoded(True)
+    a = p.aFstart.copy()
+    for k in range(p.N):
+        c = int(np.count_nonzero(Yp[k] == 0))
+        f = (p.M - c) / p.M
+        s = p.sites[k]
+        if s.refFreq:
+            f = s.refFreq
+            is_ref_freq = True
+        ff = 0
+        while f * 100 > F_BOUND[ff]:
+            ff += 1
+        fsum[ff] += f * 100
+        nsum[ff] += 1
+        if s.imputeInfo < 1.0:
+            isum[ff] += s.imputeInfo
+            ni[ff] += 1
+        xp = Xp[:, k].astype(np.int64)
+        xq = Xq[:, k].astype(np.int64)
+        gp = xp[0::2] + xp[1::2]
+        gq = xq[0::2] + xq[1::2]
+        i9 = 3 * gp + gq
+        np.add.at(n[ff], i9, 1)
+        np.add.at(ns, (np.arange(0, p.M, 2), i9), 1)
+        if is_dosage:
+            dos = dosage_retrieve(p, Yp[k], k)
+            dos_nat = np.empty(p.M)
+            dos_nat[a] = dos
+            ids = np.where(dos_nat == 0.0, 0,
+                           np.where(dos_nat == 1.0, 11,
+                                    1 + (dos_nat * 10.0).astype(np.int64)))
+            np.add.at(nd, ids, 1)
+            np.add.at(nd1, ids[xp == 1], 1)
+        a = engine.forwards_a(a, Yp[k])
+
+    if is_ref_freq:
+        out.write("Genotype comparison results split on reference frequencies\n")
+    else:
+        out.write("Genotype comparison results split on sample frequencies\n")
+    for ff in range(17):
+        row = n[ff]
+        tot = row.sum()
+        out.write(f"{F_BOUND[ff]:<5.1f}\t"
+                  f"{(fsum[ff] / nsum[ff]) if nsum[ff] else 0.0:<7.3f}")
+        for i in range(9):
+            out.write(f"\t{row[i]} ")
+        if tot:
+            xbar = (row[3] + row[4] + row[5] + 2 * (row[6] + row[7] + row[8])) / tot
+            x2 = (row[3] + row[4] + row[5] + 4 * (row[6] + row[7] + row[8])) / tot
+            ybar = (row[1] + row[4] + row[7] + 2 * (row[2] + row[5] + row[8])) / tot
+            y2 = (row[1] + row[4] + row[7] + 4 * (row[2] + row[5] + row[8])) / tot
+            r2 = (row[4] + 2 * (row[5] + row[7]) + 4 * row[8]) / tot
+            denom = math.sqrt((x2 - xbar * xbar) * (y2 - ybar * ybar))
+            r2 = (r2 - xbar * ybar) / denom if denom else 0.0
+            out.write(f"\tx,y,r2\t{xbar:.4f}\t{ybar:.4f}\t{r2:.4f}")
+            if ni[ff]:
+                out.write(f"\t info {isum[ff] / ni[ff]:.4f}")
+        out.write("\n")
+
+    hist = np.zeros(101, dtype=np.int64)
+    for j in range(0, p.M, 2):
+        row = ns[j]
+        tot = row.sum()
+        if tot:
+            xbar = (row[3] + row[4] + row[5] + 2 * (row[6] + row[7] + row[8])) / tot
+            x2 = (row[3] + row[4] + row[5] + 4 * (row[6] + row[7] + row[8])) / tot
+            ybar = (row[1] + row[4] + row[7] + 2 * (row[2] + row[5] + row[8])) / tot
+            y2 = (row[1] + row[4] + row[7] + 4 * (row[2] + row[5] + row[8])) / tot
+            r2 = (row[4] + 2 * (row[5] + row[7]) + 4 * row[8]) / tot
+            denom = math.sqrt((x2 - xbar * xbar) * (y2 - ybar * ybar))
+            r2 = (r2 - xbar * ybar) / denom if denom else 0.0
+            if r2 < 0:
+                r2 = 0
+            hist[int(100 * r2)] += 1
+    out.write("Genotype accuracy distribution across samples\n")
+    if hist[100]:
+        out.write(f"{hist[100]} samples with r2 == 1.0\n")
+    for i in range(99, -1, -1):
+        if hist[i]:
+            out.write(f"{hist[i]} samples with {(i - 1) * 0.01:.2f} <= r2 < "
+                      f"{i * 0.01:.2f}\n")
+    if is_dosage:
+        out.write("Dosage accuracy (currently at haplotype level)\n")
+        out.write(f"0.00  {nd1[0] / nd[0] if nd[0] else 0.0:.3f}  {nd[0]}\n")
+        for i in range(1, 11):
+            out.write(f"{0.1 * (i - 0.5):.2f}  "
+                      f"{nd1[i] / nd[i] if nd[i] else 0.0:.3f}  {nd[i]}\n")
+        out.write(f"1.00  {nd1[11] / nd[11] if nd[11] else 0.0:.3f}  {nd[11]}\n")
+
+
+# --------------------------------------------------------------------------
+# data corruption / simulation (pbwtImpute.c:1492-1619)
+# --------------------------------------------------------------------------
+
+_rng = np.random.RandomState(1)  # reference uses unseeded C rand() == srand(1)
+
+
+def corrupt_sites(p_old: PBWT, p_site: float, p_change: float) -> PBWT:
+    if not p_old.yz:
+        raise ValueError("corruptSites without an existing pbwt")
+    if not (0 < p_site <= 1) or not (0 < p_change <= 1):
+        raise ValueError(f"pSite {p_site}, pChange {p_change} out of range")
+    M, N = p_old.M, p_old.N
+    Y = p_old.decoded(True)
+    X = p_old.haplotypes().copy()
+    n_change = 0
+    for k in range(N):
+        if _rng.random_sample() < p_site:
+            c = int(np.count_nonzero(Y[k] == 0))
+            mask = _rng.random_sample(M) < p_change
+            new_vals = (_rng.random_sample(M) >= c / M).astype(np.uint8)
+            old_col = X[:, k].copy()
+            X[mask, k] = new_vals[mask]
+            n_change += int((X[:, k] != old_col).sum())
+    p_new = PBWT.from_haplotypes(X, chrom=p_old.chrom, sites=p_old.sites,
+                                 samples=p_old.samples)
+    log(f"corruptSites with pSite {p_site:f}, pChange {p_change:f} changes "
+        f"{n_change / (N * M):.4f} of values")
+    return p_new
+
+
+def corrupt_samples(p_old: PBWT, p_sample: float, p_change: float) -> PBWT:
+    if not p_old.yz:
+        raise ValueError("corruptSamples without an existing pbwt")
+    if not (0 < p_sample <= 1) or not (0 < p_change <= 1):
+        raise ValueError(f"pSample {p_sample}, pChange {p_change} out of range")
+    M, N = p_old.M, p_old.N
+    Y = p_old.decoded(True)
+    X = p_old.haplotypes().copy()
+    is_corrupt = _rng.random_sample(M) < p_sample
+    n_change = 0
+    for k in range(N):
+        c = int(np.count_nonzero(Y[k] == 0))
+        mask = is_corrupt & (_rng.random_sample(M) < p_change)
+        new_vals = (_rng.random_sample(M) >= c / M).astype(np.uint8)
+        old_col = X[:, k].copy()
+        X[mask, k] = new_vals[mask]
+        n_change += int((X[:, k] != old_col).sum())
+    p_new = PBWT.from_haplotypes(X, chrom=p_old.chrom, sites=p_old.sites,
+                                 samples=p_old.samples)
+    log(f"corruptSamples with pSample {p_sample:f}, pChange {p_change:f} changes "
+        f"{n_change / (N * M):.4f} of values")
+    return p_new
+
+
+def copy_samples(p_old: PBWT, m_new: int, mean_length: float) -> PBWT:
+    """Li-Stephens mosaic simulator (pbwtCopySamples, pbwtImpute.c:1586-1619)."""
+    if not p_old.yz:
+        raise ValueError("copySamples called without an existing pbwt")
+    if mean_length < 1.0:
+        raise ValueError(f"meanLength {mean_length} must be > 1 in pbwtCopySamples")
+    X_old = p_old.haplotypes()
+    N = p_old.N
+    copy = _rng.randint(0, p_old.M, size=m_new)
+    X = np.empty((m_new, N), dtype=np.uint8)
+    for k in range(N):
+        switch = _rng.random_sample(m_new) < 1.0 / mean_length
+        n_switch = int(switch.sum())
+        if n_switch:
+            copy[switch] = _rng.randint(0, p_old.M, size=n_switch)
+        X[:, k] = X_old[copy, k]
+    p_new = PBWT.from_haplotypes(X, chrom=p_old.chrom, sites=p_old.sites)
+    log(f"copySamples made {m_new} samples with mean switch length {mean_length:.1f}")
+    return p_new
