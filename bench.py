@@ -1,0 +1,63 @@
+"""Benchmark: PBWT construction throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric is haplotype-sites/s/chip for the device construction scan (the
+reference's hot loop, pbwtCore.c:458-508, is O(M) per site on one CPU
+thread; BASELINE.md sets the target at >=10M hap-sites/s/chip).
+vs_baseline = value / 1e7.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE = 1.0e7  # hap-sites/s/chip target from BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pbwt_tpu.ops import build as dbuild
+
+    M = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16   # 65536 haplotypes
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 11   # 2048 sites
+    rng = np.random.RandomState(0)
+    # allele frequencies drawn per site for realistic run-length structure
+    freqs = rng.beta(0.2, 0.8, size=N)
+    X_cols = (rng.random_sample((N, M)) < freqs[:, None]).astype(np.uint8)
+
+    Mp = dbuild.pad_to(M, 256)
+    cols = np.ones((N, Mp), dtype=np.uint8)
+    cols[:, :M] = X_cols
+    x_dev = jnp.asarray(cols)
+    a0 = jnp.arange(Mp, dtype=jnp.int32)
+
+    def run():
+        out = dbuild.build_scan(x_dev, a0, with_divergence=False)
+        # force real execution: block_until_ready is unreliable on tunneled
+        # backends, so fetch the (small) final prefix array and counts
+        return np.asarray(out[2]), np.asarray(out[1])
+
+    run()  # warm-up / compile
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        a_end, counts = run()
+    dt = (time.perf_counter() - t0) / reps
+
+    hap_sites_per_s = M * N / dt
+    print(json.dumps({
+        "metric": "pbwt_build_hap_sites_per_s_per_chip",
+        "value": round(hap_sites_per_s, 1),
+        "unit": "hap-sites/s",
+        "vs_baseline": round(hap_sites_per_s / BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

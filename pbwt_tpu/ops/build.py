@@ -1,0 +1,172 @@
+"""TPU device engine: PBWT construction as a jitted lax.scan.
+
+The reference hot loop (pbwtCursorForwardsAD, pbwtCore.c:485-508 - an O(M)
+stable two-bucket counting sort per site plus a divergence running-max) maps
+onto the TPU as:
+
+  * stable partition  = exclusive prefix-sum of the allele column + scatter
+    (VPU cumsum; one gather + one scatter per site),
+  * divergence update = segmented running maxima with resets after each
+    emitted symbol, computed with an associative scan over (value, reset)
+    pairs,
+  * site recurrence   = jax.lax.scan (the k-recurrence is inherently
+    sequential in a; throughput comes from the M lanes).
+
+Outputs: per-site sorted columns (bit-packed on device to cut HBM->host
+traffic 8x), per-site zero-counts (c), and the final prefix/divergence
+arrays.  The host pack3 encoder turns sorted columns into the byte-exact
+.pbwt stream.
+
+Padding: M is padded to a lane multiple with all-ones haplotypes.  Ones pad
+rows start at the end of the sort order and remain there under every stable
+partition (zeros first; pads follow all real ones because they follow them
+in the current order), so real rows' a/d/y values are unaffected and the
+first M entries of every output column are the unpadded result.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pad_to(M: int, multiple: int = 256) -> int:
+    return ((M + multiple - 1) // multiple) * multiple
+
+
+def _segmented_running_max(vals: jnp.ndarray, resets: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive running max of ``vals`` that restarts after each position
+    where ``resets`` is True (reset applies to the element itself: segment =
+    (last_reset, i]).  Associative-scan formulation, O(M log M)."""
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.maximum(av, bv)), ar | br
+
+    out, _ = jax.lax.associative_scan(combine, (vals, resets))
+    return out
+
+
+def pbwt_step(a: jnp.ndarray, d: jnp.ndarray, y: jnp.ndarray, k: jnp.ndarray):
+    """One column update: returns (a_new, d_new, c).
+
+    Mirrors pbwtCursorForwardsAD exactly on the first M (unpadded) lanes:
+    a_new = stable partition of a by y; d_new[j] = running max of d over the
+    segment ending at the j-th emitted 0 (resp. 1), seeded with k+1.
+    Sentinels d[0] = d[M] are maintained by the caller-side convention that
+    d[0] is overwritten with k+2 (here: position 0 of d_new).
+    """
+    M = a.shape[0]
+    mask0 = y == 0
+    r0 = jnp.cumsum(mask0)                       # inclusive zero-rank
+    c = r0[-1]
+    idx = jnp.arange(M, dtype=r0.dtype)
+    pos = jnp.where(mask0, r0 - 1, c + (idx + 1 - r0) - 1)
+    a_new = jnp.zeros_like(a).at[pos].set(a)
+
+    kk = jnp.asarray(k, d.dtype)
+    # p-scan: resets after each zero; q-scan: resets after each one
+    prev0 = jnp.concatenate([jnp.zeros(1, bool), mask0[:-1]])
+    prev1 = jnp.concatenate([jnp.zeros(1, bool), (~mask0)[:-1]])
+    seed = d.at[0].max(kk + 1)                   # fold the k+1 seed into d[0]
+    p = _segmented_running_max(seed, prev0)
+    q = _segmented_running_max(seed, prev1)
+    # re-seed segments that started after a reset but should still see k+1?
+    # No: the reference seeds p=q=k+1 once at the start only; after the first
+    # emission p/q reset to 0 (pbwtCore.c:489-503).
+    dvals = jnp.where(mask0, p, q)
+    d_new = jnp.zeros_like(d).at[pos].set(dvals)
+    d_new = d_new.at[0].set(kk + 2)
+    return a_new, d_new, c
+
+
+def bitpack_column(y: jnp.ndarray) -> jnp.ndarray:
+    """Pack a 0/1 uint8 column (len multiple of 8) into bytes, bit 7 first
+    (numpy packbits order)."""
+    M = y.shape[0]
+    shifts = jnp.array([7, 6, 5, 4, 3, 2, 1, 0], dtype=jnp.uint8)
+    return (y.reshape(M // 8, 8) << shifts).sum(axis=1).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("with_divergence",))
+def build_scan(X_cols: jnp.ndarray, a0: jnp.ndarray, with_divergence: bool = True):
+    """Construct a PBWT over (N, Mp) site-major uint8 columns.
+
+    Returns (Ybits, counts, a_end, d_end):
+      Ybits  (N, Mp//8) uint8 - sorted-order columns, bit-packed
+      counts (N,) int32       - zeros per column (c)
+      a_end  (Mp,) int32      - final prefix array (aFend)
+      d_end  (Mp,) int32      - final divergence array entries 0..Mp-1
+                                (meaningless when with_divergence=False)
+
+    Per-step cost is dominated by one dynamic gather (col[a]) and one row
+    scatter; a and d are scattered together as a stacked (Mp, 2) payload so
+    the index-addressing work is paid once.
+    """
+    N, Mp = X_cols.shape
+    d0 = jnp.zeros(Mp, dtype=jnp.int32).at[0].set(1)
+    idx = jnp.arange(Mp, dtype=jnp.int32)
+
+    def step(carry, col):
+        S, k = carry                      # S: (Mp, 2) = [a, d]
+        a = S[:, 0]
+        y = col[a]
+        mask0 = y == 0
+        r0 = jnp.cumsum(mask0.astype(jnp.int32))
+        c = r0[-1]
+        pos = jnp.where(mask0, r0 - 1, c + idx - r0)
+        if with_divergence:
+            d = S[:, 1]
+            kk = jnp.asarray(k, d.dtype)
+            prev0 = jnp.concatenate([jnp.zeros(1, bool), mask0[:-1]])
+            prev1 = jnp.concatenate([jnp.zeros(1, bool), (~mask0)[:-1]])
+            seed = d.at[0].max(kk + 1)
+            p = _segmented_running_max(seed, prev0)
+            q = _segmented_running_max(seed, prev1)
+            payload = jnp.stack([a, jnp.where(mask0, p, q)], axis=1)
+            S_new = jnp.zeros_like(S).at[pos].set(payload)
+            S_new = S_new.at[0, 1].set(kk + 2)
+        else:
+            payload = jnp.stack([a, a], axis=1)
+            S_new = jnp.zeros_like(S).at[pos].set(payload)
+        return (S_new, k + 1), (bitpack_column(y), c)
+
+    S0 = jnp.stack([a0, d0], axis=1)
+    (S_end, _), (ybits, counts) = jax.lax.scan(step, (S0, jnp.int32(0)), X_cols)
+    return ybits, counts, S_end[:, 0], S_end[:, 1]
+
+
+def prepare_columns(X: np.ndarray, multiple: int = 256) -> tuple[np.ndarray, int]:
+    """(M, N) natural-order haplotypes -> (N, Mp) site-major padded columns."""
+    M, N = X.shape
+    Mp = pad_to(M, multiple)
+    cols = np.ones((N, Mp), dtype=np.uint8)
+    cols[:, :M] = X.T
+    return cols, Mp
+
+
+def unpack_bits_host(ybits: np.ndarray, M: int) -> np.ndarray:
+    """(N, Mp//8) packed device output -> (N, M) uint8 sorted columns."""
+    return np.unpackbits(np.asarray(ybits), axis=1)[:, :M]
+
+
+def build_pbwt_device(X: np.ndarray, multiple: int = 256):
+    """Full device-accelerated construction from an (M, N) haplotype matrix.
+
+    Device does the O(NM) sort/divergence work; the host pack3-encodes the
+    sorted columns into the byte-exact .pbwt stream.
+    Returns (yz bytes, aFend int32[M], counts int32[N]).
+    """
+    from ..core import pack3 as p3
+    M, N = X.shape
+    cols, Mp = prepare_columns(X, multiple)
+    a0 = jnp.arange(Mp, dtype=jnp.int32)
+    ybits, counts, a_end, _ = build_scan(jnp.asarray(cols), a0)
+    Ysort = unpack_bits_host(np.asarray(ybits), M)
+    yz, _ = p3.pack_columns(Ysort)
+    a_end_host = np.asarray(a_end)[:M].astype(np.int32)
+    return yz, a_end_host, np.asarray(counts)

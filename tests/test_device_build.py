@@ -1,0 +1,53 @@
+import numpy as np
+import pytest
+
+from pbwt_tpu.core import engine
+from pbwt_tpu.core.pbwt import PBWT
+
+
+def rand_haps(seed, M, N, maf=0.3):
+    rng = np.random.RandomState(seed)
+    return (rng.random_sample((M, N)) < maf).astype(np.uint8)
+
+
+@pytest.mark.parametrize("seed,M,N", [(0, 24, 40), (1, 24, 40)])
+def test_device_build_matches_host(seed, M, N):
+    from pbwt_tpu.ops import build as dbuild
+    X = rand_haps(seed, M, N)
+    yz_host, a_host = engine.build_from_haplotypes(X)
+    yz_dev, a_dev, counts = dbuild.build_pbwt_device(X, multiple=8)
+    assert yz_dev == yz_host
+    assert (a_dev == a_host).all()
+    Y = PBWT.from_haplotypes(X).decoded(True)
+    assert (counts[: N] == (Y == 0).sum(axis=1)).all()
+
+
+def test_device_divergence_matches_host():
+    from pbwt_tpu.ops import build as dbuild
+    import jax.numpy as jnp
+    X = rand_haps(3, 40, 30)
+    M, N = X.shape
+    cols, Mp = dbuild.prepare_columns(X, multiple=8)
+    ybits, counts, a_end, d_end = dbuild.build_scan(
+        jnp.asarray(cols), jnp.arange(Mp, dtype=jnp.int32))
+    # host reference
+    a = np.arange(M, dtype=np.int32)
+    d = np.zeros(M + 1, dtype=np.int32)
+    d[0] = d[M] = 1
+    for k in range(N):
+        y = X[a, k]
+        a, d = engine.forwards_ad(a, d, y, k)
+    assert (np.asarray(a_end)[:M] == a).all()
+    # device d has no d[M] sentinel; compare entries 0..M-1
+    assert (np.asarray(d_end)[:M] == d[:M]).all()
+
+
+def test_padding_rows_stay_at_end():
+    from pbwt_tpu.ops import build as dbuild
+    import jax.numpy as jnp
+    X = rand_haps(4, 10, 25)
+    cols, Mp = dbuild.prepare_columns(X, multiple=16)
+    assert Mp == 16
+    _, _, a_end, _ = dbuild.build_scan(jnp.asarray(cols),
+                                       jnp.arange(Mp, dtype=jnp.int32))
+    assert set(np.asarray(a_end)[10:].tolist()) == set(range(10, 16))
