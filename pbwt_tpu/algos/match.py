@@ -287,7 +287,10 @@ def match_sequences_indexed(p: PBWT, q: PBWT, report=report_match_stdout) -> Non
             n_tot += 1
             tot_len += k - e
             e1 = int(D[k + 1][f1]) - 1
-            if (x[e1] == 0 and f1 > 0) or f1 == M:
+            # NB when f1 is 0 or M, e1 may be k+1 (sentinel d) and x[e1] can
+            # be out of range, but the branch taken doesn't depend on it:
+            # f1==M forces the first branch and f1==0 the second
+            if f1 == M or (f1 > 0 and x[e1] == 0):
                 f1 = g1 - 1
                 y = reference[A[k + 1][f1]]
                 while e1 > 0 and x[e1 - 1] == y[e1 - 1]:

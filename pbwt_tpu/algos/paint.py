@@ -1,0 +1,219 @@
+"""ChromoPainter-style local-ancestry painting (pbwtPaint.c).
+
+Co-ancestry chunk counts/lengths from maximal within-panel matches with
+(k-start)*(end-k) positional weighting, region-binned squared counts, and
+the SparsePainter streaming variant (Yang et al., Nat Comms 16:2742, 2025).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+
+from ..core import registry
+from ..core.pbwt import PBWT
+from ..utils import log, time_update, fopen_tag
+from . import match as matchmod
+
+
+def _collect_matches(p: PBWT):
+    max_match: list[list[tuple[int, int, int]]] = [[] for _ in range(p.M)]
+    matchmod.match_maximal_within(
+        p, lambda ai, bi, s, e: max_match[ai].append((bi, s, e)))
+    return max_match
+
+
+def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
+                          ploidy: int = 2, outputlocal: int = 0) -> None:
+    """paintAncestryMatrix (pbwtPaint.c:56-209)."""
+    n_inds = p.M // ploidy
+    map_ih = np.arange(p.M) // ploidy
+    counts = np.zeros((n_inds, n_inds))
+    counts2 = np.zeros((n_inds, n_inds))
+    counts3 = np.zeros((n_inds, n_inds))
+    totlengths = np.zeros((n_inds, n_inds))
+    nregions = np.zeros(n_inds)
+    tot_counts = np.zeros(n_inds)
+    max_match = _collect_matches(p)
+    part_counts = np.zeros(n_inds)
+
+    flp = None
+    localsum = None
+    if outputlocal:
+        flp = fopen_tag(file_root, "localancestry.out", "w")
+        flp.write("pos" + "".join(f" IND{i + 1}" for i in range(n_inds)) + "\n")
+
+    for i in range(p.M):
+        if outputlocal:
+            localsum = np.zeros((n_inds, p.N))
+        mm = max_match[i]
+        if not mm:
+            mm = [(i, 0, 0)]
+        m1 = 0
+        n1 = 1
+        m_stop = len(mm) - 1
+        part_counts[:] = 0.0
+        me = map_ih[i]
+        for k in range(1, p.N):
+            while mm[m1][2] <= k and m1 < m_stop:
+                if n1 % chunksperregion == 0:
+                    mask = np.arange(n_inds) != me
+                    counts2[me][mask] += part_counts[mask] ** 2
+                    counts3[me][mask] += part_counts[mask]
+                    part_counts[:] = 0.0
+                    nregions[me] += 1.0
+                m1 += 1
+                n1 += 1
+            ssum = 0.0
+            mlist = []
+            m = m1
+            while m <= m_stop and mm[m][1] < k:
+                jm, sm, em = mm[m]
+                if map_ih[jm] != me:
+                    mlist.append((jm, sm, em))
+                    ssum += (k - sm) * (em - k)
+                m += 1
+            if ssum:
+                for jm, sm, em in mlist:
+                    w = (k - sm) * (em - k) / ssum
+                    if outputlocal:
+                        localsum[map_ih[jm]][k] += w
+                    totlengths[me][map_ih[jm]] += w
+                    thiscount = w / (em - sm)
+                    counts[me][map_ih[jm]] += thiscount
+                    part_counts[map_ih[jm]] += thiscount
+        if outputlocal:
+            flp.write(f"HAP {i + 1} IND{me + 1}\n")
+            for k in range(p.N - 1, -1, -1):
+                flp.write(str(p.sites[k].x))
+                for j in range(n_inds):
+                    flp.write(f" {localsum[j][k]:0.3f}")
+                flp.write("\n")
+    if outputlocal:
+        flp.close()
+
+    # normalise chunk lengths per recipient
+    for i in range(n_inds):
+        indsum = totlengths[i].sum()
+        if indsum:
+            totlengths[i] = totlengths[i] / indsum * p.N * ploidy
+
+    fc = fopen_tag(file_root, "chunkcounts.out", "w")
+    fl = fopen_tag(file_root, "chunklengths.out", "w")
+    fc2 = fopen_tag(file_root, "regionsquaredchunkcounts.out", "w")
+    fc3 = fopen_tag(file_root, "regionchunkcounts.out", "w")
+    fc.write("RECIPIENT")
+    fl.write("RECIPIENT")
+    fc2.write("RECIPIENT nregions")
+    fc3.write("RECIPIENT nregions")
+    for i in range(n_inds):
+        for f in (fc, fl, fc2, fc3):
+            f.write(f" IND{i + 1}")
+    for f in (fc, fl, fc2, fc3):
+        f.write("\n")
+    for i in range(n_inds):
+        fc3.write(f"IND{i + 1} {nregions[i]:.2f}")
+        fc2.write(f"IND{i + 1} {nregions[i]:.2f}")
+        fl.write(f"IND{i + 1}")
+        fc.write(f"IND{i + 1}")
+        for j in range(n_inds):
+            fc.write(f" {counts[i][j]:.4f}")
+            fl.write(f" {totlengths[i][j]:.4f}")
+            fc2.write(f" {counts2[i][j]:.4f}")
+            fc3.write(f" {counts3[i][j]:.4f}")
+            tot_counts[i] += counts[i][j]
+        for f in (fc, fl, fc2, fc3):
+            f.write("\n")
+    for f in (fc, fl, fc2, fc3):
+        f.close()
+    time_update()
+
+
+def paint_ancestry_matrix_sparse(p: PBWT, file_root: str,
+                                 chunksperregion: int = 100, ploidy: int = 2,
+                                 cutoff: float = 0) -> None:
+    """paintAncestryMatrixSparse (pbwtPaint.c:211-328): streams per-individual
+    sparse rows to gzipped .s.out.gz files with a match-length cutoff."""
+    n_inds = p.M // ploidy
+    map_ih = np.arange(p.M) // ploidy
+    nregions = np.zeros(n_inds)
+
+    fr = gzip.open(f"{file_root}.nregions.s.out.gz", "wt")
+    fc = gzip.open(f"{file_root}.chunkcounts.s.out.gz", "wt")
+    fl = gzip.open(f"{file_root}.chunklengths.s.out.gz", "wt")
+    fc2 = gzip.open(f"{file_root}.regionsquaredchunkcounts.s.out.gz", "wt")
+    fc3 = gzip.open(f"{file_root}.regionchunkcounts.s.out.gz", "wt")
+
+    def print_all(ii, t_counts, t_counts2, t_counts3, t_totlengths, nreg):
+        for jj in range(n_inds):
+            if t_counts[jj]:
+                fc.write(f"{ii + 1} {jj + 1} {t_counts[jj]:.4f}\n")
+                fl.write(f"{ii + 1} {jj + 1} {t_totlengths[jj]:.4f}\n")
+                fc2.write(f"{ii + 1} {jj + 1} {t_counts2[jj]:.4f}\n")
+                fc3.write(f"{ii + 1} {jj + 1} {t_counts3[jj]:.4f}\n")
+        fr.write(f"{ii + 1} {nreg:.2f}\n")
+
+    max_match = _collect_matches(p)
+    part_counts = np.zeros(n_inds)
+    t_counts = np.zeros(n_inds)
+    t_counts2 = np.zeros(n_inds)
+    t_counts3 = np.zeros(n_inds)
+    t_totlengths = np.zeros(n_inds)
+    indsum = 0.0
+
+    for i in range(p.M):
+        mm = max_match[i]
+        if not mm:
+            mm = [(i, 0, 0)]
+        m1 = 0
+        n1 = 1
+        m_stop = len(mm) - 1
+        me = map_ih[i]
+        if i == 0 or map_ih[i] != map_ih[i - 1]:
+            if i > 0:
+                print_all(map_ih[i - 1], t_counts, t_counts2, t_counts3,
+                          t_totlengths, nregions[map_ih[i - 1]])
+            part_counts[:] = 0.0
+            t_counts[:] = 0.0
+            t_counts2[:] = 0.0
+            t_counts3[:] = 0.0
+            t_totlengths[:] = 0.0
+        for k in range(1, p.N):
+            while mm[m1][2] <= k and m1 < m_stop:
+                if n1 % chunksperregion == 0:
+                    nz = part_counts != 0
+                    nz[me] = False
+                    t_counts2[nz] += part_counts[nz] ** 2
+                    t_counts3[nz] += part_counts[nz]
+                    part_counts[:] = 0.0
+                    nregions[me] += 1.0
+                m1 += 1
+                n1 += 1
+            ssum = 0.0
+            mlist = []
+            m = m1
+            while m <= m_stop and mm[m][1] < k:
+                jm, sm, em = mm[m]
+                if map_ih[jm] != me and (em - sm) > cutoff:
+                    mlist.append((jm, sm, em))
+                    ssum += (k - sm) * (em - k)
+                m += 1
+            if ssum:
+                for jm, sm, em in mlist:
+                    w = (k - sm) * (em - k) / ssum
+                    t_totlengths[map_ih[jm]] += w
+                    thiscount = w / (em - sm)
+                    t_counts[map_ih[jm]] += thiscount
+                    part_counts[map_ih[jm]] += thiscount
+                indsum += 1.0
+        if i % ploidy == ploidy - 1:
+            nz = t_totlengths != 0
+            if indsum:
+                t_totlengths[nz] = t_totlengths[nz] / indsum * p.N * ploidy
+            indsum = 0.0
+
+    print_all(map_ih[p.M - 1], t_counts, t_counts2, t_counts3, t_totlengths,
+              nregions[map_ih[p.M - 1]])
+    for f in (fc, fl, fc2, fc3, fr):
+        f.close()

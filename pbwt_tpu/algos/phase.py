@@ -1,0 +1,483 @@
+"""Phasing: within-panel iterative het resolution (phase/phaseSweep,
+pbwtImpute.c:288-396) and reference phasing via the pruned HMM lattice
+(referencePhase4, pbwtImpute.c:905-1104, EXTEND4 scoring)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..core import engine, registry
+from ..core.pbwt import PBWT
+from ..utils import log, time_update
+
+
+# --------------------------------------------------------------------------
+# phase comparison (phaseCompare, pbwtImpute.c:165-243)
+# --------------------------------------------------------------------------
+
+def phase_compare(p: PBWT, q: PBWT) -> None:
+    M, N = p.M, p.N
+    if q.M != M or q.N != N:
+        raise ValueError("size incompatibility in phaseCompare")
+    if M % 2:
+        raise ValueError(f"phaseCompare requires that M {M} is even")
+    Xp = p.haplotypes()
+    Xq = q.haplotypes()
+    n_switch = n_het = n_switch1 = n_switch5 = 0
+    n_switch_sample = np.zeros(M // 2, dtype=np.int64)
+    n_switch_site = np.zeros(N, dtype=np.int64)
+    is_first = np.ones(M, dtype=bool)
+    is_flipped = np.zeros(M, dtype=np.int64)
+    last_flip = np.zeros(M, dtype=np.int64)
+    k_het = np.zeros(M, dtype=np.int64)
+    for k in range(N):
+        xp = Xp[:, k]
+        xq = Xq[:, k]
+        for i in range(0, M, 2):
+            if xp[i] + xp[i + 1] == 1:
+                n_het += 1
+                k_het[i] += 1
+                if is_first[i]:
+                    is_first[i] = False
+                    is_flipped[i] = 1 if xp[i] == xq[i + 1] else 0
+                elif xp[i] != xq[i + is_flipped[i]]:
+                    n_switch += 1
+                    n_switch_sample[i // 2] += 1
+                    n_switch_site[k] += 1
+                    if k_het[i] - last_flip[i] > 1:
+                        n_switch1 += 1
+                    if k_het[i] - last_flip[i] > 5:
+                        n_switch5 += 1
+                    is_flipped[i] = 1 - is_flipped[i]
+                    last_flip[i] = k_het[i]
+    m_fac = 2.0 / M
+    log(f"{m_fac * n_switch:.1f} switches per sample, "
+        f"{n_switch / n_het if n_het else 0.0:.3f} per het, "
+        f"{m_fac * n_switch1:.1f} nSwitch1, {m_fac * n_switch5:.1f} nSwitch5")
+    if registry.is_stats:
+        import sys
+        for i in range(M // 2):
+            sys.stdout.write(f"SAMPLE-SWITCH\t{i}\t{n_switch_sample[i]}\n")
+        for k in range(N):
+            sys.stdout.write(f"SITE-SWITCH\t{k}\t{n_switch_site[k]}\n")
+
+
+# --------------------------------------------------------------------------
+# within-panel phasing (phase/phaseSweep)
+# --------------------------------------------------------------------------
+
+class _SweepCursor:
+    """Write cursor with divergence + inverse prefix array (the ->b field)."""
+
+    def __init__(self, M: int, a_init=None):
+        self.M = M
+        self.a = (np.arange(M, dtype=np.int32) if a_init is None
+                  else np.asarray(a_init, np.int32).copy())
+        self.d = np.zeros(M + 1, dtype=np.int32)
+        self.d[0] = self.d[M] = 1
+        self.b = np.empty(M, dtype=np.int32)
+        self.b[self.a] = np.arange(M, dtype=np.int32)
+        self.chunks: list[bytes] = []
+
+    def write_ad(self, x: np.ndarray, k: int):
+        from ..core import pack3 as p3
+        y = x[self.a]
+        self.chunks.append(p3.pack3(y))
+        self.a, self.d = engine.forwards_ad(self.a, self.d, y, k)
+        self.b[self.a] = np.arange(self.M, dtype=np.int32)
+
+    def advance_ad_only(self, x: np.ndarray, k: int):
+        y = x[self.a]
+        self.a, self.d = engine.forwards_ad(self.a, self.d, y, k)
+        self.b[self.a] = np.arange(self.M, dtype=np.int32)
+
+
+def _score0(cur, xp: np.ndarray, i: int) -> float:
+    """score0 (pbwtImpute.c:260-267): sum of phased values of the sort-order
+    neighbours of haplotype i."""
+    ubi = cur.b[i]
+    s = 0.0
+    if ubi > 0:
+        s += xp[cur.a[ubi - 1]]
+    if ubi < cur.M - 1:
+        s += xp[cur.a[ubi + 1]]
+    return s
+
+
+def _score1(cur, xp: np.ndarray, i: int, k: int, score_bit) -> float:
+    """score1 (pbwtImpute.c:269-276): length-weighted neighbour votes."""
+    ubi = cur.b[i]
+    s = 0.0
+    if ubi > 0:
+        s += xp[cur.a[ubi - 1]] * score_bit[(k + 1) - cur.d[ubi]]
+    if ubi < cur.M - 1:
+        s += xp[cur.a[ubi + 1]] * score_bit[(k + 1) - cur.d[ubi + 1]]
+    return s
+
+
+def phase_sweep(p: PBWT, ref: PBWT | None, is_start: bool,
+                r: PBWT | None, n_sparse: int, score_bit) -> PBWT:
+    """phaseSweep (pbwtImpute.c:288-372)."""
+    M, N = p.M, p.N
+    if ref is not None and p.M > ref.M:
+        raise ValueError("phaseSweep requires ref->M >= p->M")
+
+    Y = p.decoded(True)
+    # forward/backward reader over p
+    if is_start:
+        up = engine.ReadCursor(Y, p.aFstart if p.aFstart is not None
+                               else np.arange(M, dtype=np.int32))
+    else:
+        up = engine.ReadCursor(Y, p.aFend)
+        up.pos = N
+
+    q = PBWT(M, N)
+    ur = None
+    r_binv = None
+    if r is not None:
+        # forward cursor over r at its END; recover stored inverse positions
+        ur = engine.ReadCursor(r.decoded(True), r.aFend)
+        ur.pos = r.N
+        r_binv = r.aRend.copy()          # cached uq->b from the reverse sweep
+        q.aFstart = r.aFend.copy()       # prime uq with final ur
+
+    uq = _SweepCursor(M, q.aFstart)
+    uqq = [_SweepCursor(M) for _ in range(n_sparse)]
+
+    class _RC:
+        """read-cursor adaptor with a/b for score0 on the reverse pbwt"""
+        def __init__(self, cur, binv):
+            self.cur = cur
+            self.b = binv
+            self.M = cur.M
+
+        @property
+        def a(self):
+            return self.cur.a
+
+        @property
+        def d(self):
+            return self.cur.d
+
+    urw = _RC(ur, r_binv) if ur is not None else None
+
+    x = np.zeros(M, dtype=np.uint8)
+    for k in range(N):
+        if not is_start:
+            up.read_backwards()
+        x[up.a] = up.y
+        if is_start:
+            up.forwards_read()
+        xp = np.where(x != 0, 1.0, -1.0)
+        hets = [i for i in range(0, M, 2) if x[i] != x[i + 1]]
+        for i in hets:
+            xp[i] = xp[i + 1] = 0.0
+        n2 = len(hets)
+        thresh = 0.5 if ref is not None else 2 * (n_sparse + (2 if r is not None else 1)) + 0.5
+        while n2 and thresh > 1.0:
+            n2_old = n2
+            n2 = 0
+            for i in range(0, M, 2):
+                if xp[i] == 0.0:
+                    s = _score0(uq, xp, i) - _score0(uq, xp, i + 1)
+                    if urw is not None:
+                        s += _score0(urw, xp, i) - _score0(urw, xp, i + 1)
+                    for cur in uqq:
+                        s += _score0(cur, xp, i) - _score0(cur, xp, i + 1)
+                    if s > thresh:
+                        xp[i], xp[i + 1] = 1, -1
+                    elif s < -thresh:
+                        xp[i], xp[i + 1] = -1, 1
+                    else:
+                        n2 += 1
+            if n2 == n2_old:
+                thresh -= 1.0
+        if n2:
+            for i in range(0, M, 2):
+                if xp[i] == 0.0:
+                    s = _score1(uq, xp, i, k, score_bit) - _score1(uq, xp, i + 1, k, score_bit)
+                    for cur in uqq:
+                        s += (_score1(cur, xp, i, k // n_sparse, score_bit)
+                              - _score1(cur, xp, i + 1, k // n_sparse, score_bit))
+                    if s > 0:
+                        xp[i], xp[i + 1] = 1, -1
+                    else:
+                        xp[i], xp[i + 1] = -1, 1
+        x2 = (xp > 0.0).astype(np.uint8)
+        uq.write_ad(x2, k)
+        kk = k % n_sparse
+        uqq[kk].advance_ad_only(x2, k // n_sparse)
+        if ur is not None:
+            ur.read_backwards()
+            r_binv[ur.a] = np.arange(M, dtype=np.int32)
+
+    q.N = N
+    q.yz = b"".join(uq.chunks)
+    q.aFend = uq.a.copy()
+    q.aRend = uq.b.copy()   # cache inverse for retrieval on the forwards pass
+    return q
+
+
+def phase(p: PBWT, n_sparse: int) -> PBWT:
+    """phase (pbwtImpute.c:374-396)."""
+    if p.M % 2:
+        raise ValueError(f"phase requires that M = {p.M} is even")
+    if n_sparse < 2:
+        n_sparse = 2
+    score_bit = np.log(np.arange(p.N + 2) + 1.0)
+    if p.aFend is None:
+        p.build_reverse()
+    r = phase_sweep(p, None, False, None, 2, score_bit)
+    q = phase_sweep(p, None, True, r, n_sparse, score_bit)
+    log("After forward pass: ")
+    phase_compare(p, q)
+    q.sites = p.sites
+    q.chrom = p.chrom
+    q.samples = p.samples
+    return q
+
+
+# --------------------------------------------------------------------------
+# reference phasing (referencePhase4, EXTEND4)
+# --------------------------------------------------------------------------
+
+def _suffix_stop_max(d: np.ndarray, y: np.ndarray, x: int, M: int) -> np.ndarray:
+    """BP_x[i] = max(d[i..j-1]) where j = first index >= i with y[j] == x
+    (i.e. the divergence accumulated by pbwtCursorMapDplus before it stops);
+    -1 when y[i] == x (no accumulation).  BP_x[M] = -1."""
+    bp = np.full(M + 1, -1, dtype=np.int64)
+    for i in range(M - 1, -1, -1):
+        if y[i] != x:
+            bp[i] = max(int(d[i]), bp[i + 1]) if bp[i + 1] >= 0 else int(d[i])
+    return bp
+
+
+def _prefix_stop_max(d: np.ndarray, y: np.ndarray, x: int, M: int) -> np.ndarray:
+    """BM_x[i] = max accumulated by pbwtCursorMapDminus scanning i-1 down to
+    (exclusive) the previous index with y == x; -1 when nothing scanned."""
+    bm = np.full(M + 1, -1, dtype=np.int64)
+    for i in range(1, M + 1):
+        if y[i - 1] != x:
+            bm[i] = max(int(d[i - 1]), bm[i - 1]) if bm[i - 1] >= 0 else int(d[i - 1])
+    return bm
+
+
+def reference_phase4(p_old: PBWT, p_ref: PBWT) -> PBWT:
+    log("Reference phase with extension method EXTEND4")
+    M_old, N = p_old.M, p_old.N
+    M = p_ref.M
+    YOld = p_old.decoded(True)
+    YRef = p_ref.decoded(True)
+    uold = engine.ReadCursor(YOld, p_old.aFstart)
+    uref = engine.ReadCursor(YRef, p_ref.aFstart)
+
+    n_pairs = M_old // 2
+    NEG = np.float32(0)
+    s = np.zeros((n_pairs, M + 1), dtype=np.float32)
+    s[:, 0] = -1.0
+    j1 = np.zeros((n_pairs, M + 1), dtype=np.int64)
+    dp0 = np.zeros((n_pairs, M + 1), dtype=np.int64)
+    dm0 = np.zeros((n_pairs, M + 1), dtype=np.int64)
+    dp1 = np.zeros((n_pairs, M + 1), dtype=np.int64)
+    dm1 = np.zeros((n_pairs, M + 1), dtype=np.int64)
+    back = np.zeros((n_pairs, M + 1), dtype=np.int64)
+    # traceback heap: append-only list of (parent, value); node 0 = root
+    tb_parent = [0]
+    tb_value = [0]
+
+    x_old = np.empty(M_old, dtype=np.uint8)
+    jidx = np.arange(M + 1, dtype=np.int64)
+
+    for k in range(N):
+        x_old[uold.a] = uold.y
+        uref.calculate_u()
+        y = uref.y
+        u, c = uref.u, uref.c
+        d = uref.d
+        bp = [_suffix_stop_max(d, y, 0, M), _suffix_stop_max(d, y, 1, M)]
+        bm = [_prefix_stop_max(d, y, 0, M), _prefix_stop_max(d, y, 1, M)]
+        ymask = np.zeros(M + 2, dtype=np.int64)
+        ymask[:M] = y
+        jmap = [engine.cursor_map(u, c, 0, jidx), engine.cursor_map(u, c, 1, jidx)]
+
+        for jq in range(0, M_old, 2):
+            pr = jq // 2
+            x0, x1 = int(x_old[jq]), int(x_old[jq + 1])
+            live = np.flatnonzero(s[pr] != 0)
+            phases = [(x0, x1)] if x0 == x1 else [(x0, x1), (x1, x0)]
+            # gather candidates from all live cells under each phase order
+            cand_target = []
+            cand_s = []
+            cand_j = []
+            cand_phase = []
+            cand_fields = []
+            for ph, (xa, xb) in enumerate(phases):
+                j0 = live
+                oj1 = j1[pr][live]
+                tdp0 = np.where(bp[xa][j0] >= 0,
+                                np.maximum(dp0[pr][live], bp[xa][j0]),
+                                dp0[pr][live])
+                tdm0 = np.where(bm[xa][j0] >= 0,
+                                np.maximum(dm0[pr][live], bm[xa][j0]),
+                                dm0[pr][live])
+                tdp1 = np.where(bp[xb][oj1] >= 0,
+                                np.maximum(dp1[pr][live], bp[xb][oj1]),
+                                dp1[pr][live])
+                tdm1 = np.where(bm[xb][oj1] >= 0,
+                                np.maximum(dm1[pr][live], bm[xb][oj1]),
+                                dm1[pr][live])
+                ds0 = np.zeros(len(live), dtype=np.float32)
+                has_prev = j0 > 0
+                sign_prev = np.where(ymask[j0 - 1] == xa, 1.0, -1.0)
+                ds0 += np.where(has_prev,
+                                sign_prev * (k - dm0[pr][live]), 0.0).astype(np.float32)
+                has_next = j0 < M
+                sign_next = np.where(ymask[np.minimum(j0, M - 1)] == xa, 1.0, -1.0)
+                ds0 += np.where(has_next,
+                                sign_next * (k - dp0[pr][live]), 0.0).astype(np.float32)
+                ds1 = np.zeros(len(live), dtype=np.float32)
+                has_prev1 = oj1 > 0
+                sign_prev1 = np.where(ymask[oj1 - 1] == xb, 1.0, -1.0)
+                ds1 += np.where(has_prev1,
+                                sign_prev1 * (k - dm1[pr][live]), 0.0).astype(np.float32)
+                has_next1 = oj1 < M
+                sign_next1 = np.where(ymask[np.minimum(oj1, M - 1)] == xb, 1.0, -1.0)
+                ds1 += np.where(has_next1,
+                                sign_next1 * (k - dp1[pr][live]), 0.0).astype(np.float32)
+                ts = (s[pr][live] + np.minimum(ds0, 0.0)
+                      + np.minimum(ds1, 0.0)).astype(np.float32)
+                tgt = jmap[xa][j0]
+                nj1 = jmap[xb][oj1]
+                cand_target.append(tgt)
+                cand_s.append(ts)
+                cand_j.append(j0)
+                cand_phase.append(np.full(len(live), ph, dtype=np.int64))
+                cand_fields.append((nj1, tdp0, tdm0, tdp1, tdm1))
+
+            tgt = np.concatenate(cand_target)
+            ts = np.concatenate(cand_s)
+            jj = np.concatenate(cand_j)
+            ph_arr = np.concatenate(cand_phase)
+            nj1 = np.concatenate([f[0] for f in cand_fields])
+            tdp0 = np.concatenate([f[1] for f in cand_fields])
+            tdm0 = np.concatenate([f[2] for f in cand_fields])
+            tdp1 = np.concatenate([f[3] for f in cand_fields])
+            tdm1 = np.concatenate([f[4] for f in cand_fields])
+            # winner per target: max s; ties broken by (j, phase) arrival order
+            order = np.lexsort((ph_arr, jj, -ts, tgt))
+            tgt_sorted = tgt[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = tgt_sorted[1:] != tgt_sorted[:-1]
+            win = order[first]
+
+            new_s = np.zeros(M + 1, dtype=np.float32)
+            new_j1 = np.zeros(M + 1, dtype=np.int64)
+            new_dp0 = np.zeros(M + 1, dtype=np.int64)
+            new_dm0 = np.zeros(M + 1, dtype=np.int64)
+            new_dp1 = np.zeros(M + 1, dtype=np.int64)
+            new_dm1 = np.zeros(M + 1, dtype=np.int64)
+            new_back = np.zeros(M + 1, dtype=np.int64)
+            wt = tgt[win]
+            new_s[wt] = ts[win]
+            new_j1[wt] = nj1[win]
+            new_dp0[wt] = tdp0[win]
+            new_dm0[wt] = tdm0[win]
+            new_dp1[wt] = tdp1[win]
+            new_dm1[wt] = tdm1[win]
+            for w in win:
+                t = tgt[w]
+                src = jj[w]
+                if x0 == x1:
+                    new_back[t] = back[pr][src]
+                else:
+                    xa = phases[ph_arr[w]][0]
+                    tb_parent.append(int(back[pr][src]))
+                    tb_value.append(xa)
+                    new_back[t] = len(tb_parent) - 1
+            s[pr] = new_s
+            j1[pr] = new_j1
+            dp0[pr], dm0[pr] = new_dp0, new_dm0
+            dp1[pr], dm1[pr] = new_dp1, new_dm1
+            back[pr] = new_back
+
+        uold.forwards_read()
+        uref.forwards_read_ad(k)
+
+    log(f"traceBackHeap final {len(tb_parent)}, max {len(tb_parent)}")
+
+    # traceback: pick best final cell per pair, then walk hets backwards
+    tb = np.zeros(n_pairs, dtype=np.int64)
+    for pr in range(n_pairs):
+        live = np.flatnonzero(s[pr] != 0)
+        j_best = live[np.argmax(s[pr][live])]
+        tb[pr] = back[pr][j_best]
+
+    p_new = PBWT(M_old, N)
+    p_new.aRstart = np.arange(M_old, dtype=np.int32)
+    u_new_r = engine.WriteCursor(M_old, p_new.aRstart)
+    x_new = np.empty(M_old, dtype=np.uint8)
+    for k in range(N - 1, -1, -1):
+        uold.read_backwards()
+        x_old[uold.a] = uold.y
+        for jq in range(0, M_old, 2):
+            pr = jq // 2
+            if x_old[jq] == x_old[jq + 1]:
+                x_new[jq] = x_old[jq]
+                x_new[jq + 1] = x_old[jq + 1]
+            else:
+                node = int(tb[pr])
+                if node == 0:
+                    raise ValueError(f"premature end of trace back at k {k}")
+                x_new[jq] = tb_value[node]
+                x_new[jq + 1] = 1 - x_new[jq]
+                tb[pr] = tb_parent[node]
+    # writes into the reverse pbwt
+        u_new_r.write_natural(x_new)
+    p_new.zz = u_new_r.packed()
+    p_new.aRend = u_new_r.a.copy()
+    p_new.aFstart = u_new_r.a.copy()
+    # re-reverse to get the forward pbwt
+    ur = engine.ReadCursor(p_new.decoded(False), p_new.aRend)
+    ur.pos = N
+    u_new_f = engine.WriteCursor(M_old, p_new.aFstart)
+    xbuf = np.empty(M_old, dtype=np.uint8)
+    for k in range(N):
+        ur.read_backwards()
+        xbuf[ur.a] = ur.y
+        u_new_f.write_natural(xbuf)
+    p_new.yz = u_new_f.packed()
+    p_new.aFend = u_new_f.a.copy()
+    return p_new
+
+
+def reference_phase(p_old: PBWT, root: str) -> PBWT:
+    """referencePhase (pbwtImpute.c:1077-1104)."""
+    from ..io import pbwtfile
+    log(f"phase against reference {root}")
+    if p_old.M % 2:
+        raise ValueError(f"phase requires that M = {p_old.M} is even")
+    if not p_old.yz or p_old.sites is None:
+        raise ValueError("referencePhase called without existing pbwt with sites")
+    p_ref = pbwtfile.read_all(root)
+    if p_ref.sites is None:
+        raise ValueError(f"new pbwt {root} in referencePhase has no sites")
+    if p_old.chrom != p_ref.chrom:
+        raise ValueError(f"mismatching chrom in referencePhase: old "
+                         f"{p_old.chrom}, ref {p_ref.chrom}")
+    p_old = p_old.select_sites(p_ref.sites, keep_old=False)
+    p_ref = p_ref.select_sites(p_old.sites, keep_old=False)
+    if not p_old.N:
+        raise ValueError("no overlapping sites in referencePhase")
+    log("Phase preliminaries: ")
+    time_update()
+    p_new = reference_phase4(p_old, p_ref)
+    log("Phasing complete: ")
+    time_update()
+    log("After phasing: ")
+    phase_compare(p_new, p_old)
+    p_new.chrom = p_old.chrom
+    p_new.sites = p_old.sites
+    p_new.samples = p_old.samples
+    return p_new
