@@ -1,0 +1,306 @@
+/* pbwt-tpu native host runtime: hot inner loops for the exact engine.
+ *
+ * These are fresh implementations of the PBWT primitives (Durbin,
+ * Bioinformatics 30:1266-72, 2014) in C for host-side throughput; the
+ * device (TPU) path lives in pbwt_tpu/ops.  Exposed through ctypes
+ * (pbwt_tpu/core/native.py); every entry point has a numpy fallback with
+ * identical semantics.
+ *
+ * Conventions: columns are site-major uint8 arrays of M values in current
+ * sort order; prefix arrays are int32; report buffers are int64 quadruples.
+ */
+
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+
+#define EXPORT __attribute__((visibility("default")))
+
+/* ------------------------------------------------------------------ */
+/* pack3 codec                                                         */
+/* ------------------------------------------------------------------ */
+
+#define T1 64
+#define T2 (32 << 6)
+#define T3 (31 << 11)
+
+static inline long emit_run(uint8_t sym, long n, uint8_t *out)
+{
+    uint8_t top = (uint8_t)(sym << 7);
+    uint8_t *o = out;
+    while (n >= T3) { *o++ = top | 0x7f; n -= T3; }
+    if (n >= T2) { *o++ = top | 0x60 | (uint8_t)(n >> 11); n &= 0x7ff; }
+    if (n >= T1) { *o++ = top | 0x40 | (uint8_t)(n >> 6); n &= 0x3f; }
+    if (n) *o++ = top | (uint8_t)n;
+    return o - out;
+}
+
+EXPORT long p3_encode(const uint8_t *y, long M, uint8_t *out)
+{
+    long m = 0, nout = 0;
+    while (m < M) {
+        uint8_t sym = y[m];
+        long start = m;
+        while (m < M && y[m] == sym) ++m;
+        nout += emit_run(sym, m - start, out + nout);
+    }
+    return nout;
+}
+
+/* encode many columns; offsets[ncols+1] filled with byte offsets */
+EXPORT long p3_encode_cols(const uint8_t *Y, long ncols, long M,
+                           uint8_t *out, int64_t *offsets)
+{
+    long nout = 0;
+    for (long c = 0; c < ncols; ++c) {
+        offsets[c] = nout;
+        nout += p3_encode(Y + c * M, M, out + nout);
+    }
+    offsets[ncols] = nout;
+    return nout;
+}
+
+static int32_t p3dec[128];
+static int p3dec_ready = 0;
+static void p3dec_init(void)
+{
+    for (int n = 0; n < 64; ++n) p3dec[n] = n;
+    for (int n = 64; n < 96; ++n) p3dec[n] = (n - 64) << 6;
+    for (int n = 96; n < 128; ++n) p3dec[n] = (n - 96) << 11;
+    p3dec_ready = 1;
+}
+
+/* decode ncols columns of M values; returns bytes consumed or -1 on error */
+EXPORT long p3_decode_cols(const uint8_t *yz, long nz, long ncols, long M,
+                           uint8_t *Y)
+{
+    if (!p3dec_ready) p3dec_init();
+    long pos = 0;
+    for (long c = 0; c < ncols; ++c) {
+        long m = 0;
+        uint8_t *col = Y + c * M;
+        while (m < M) {
+            if (pos >= nz) return -1;
+            uint8_t b = yz[pos++];
+            long n = p3dec[b & 0x7f];
+            if (m + n > M) return -1;
+            memset(col + m, b >> 7, n);
+            m += n;
+        }
+    }
+    return pos;
+}
+
+/* ------------------------------------------------------------------ */
+/* column updates (algorithms 1 and 2)                                 */
+/* ------------------------------------------------------------------ */
+
+EXPORT long fwd_a(int32_t *a, const uint8_t *y, int32_t *ones, long M)
+{
+    long u = 0, v = 0;
+    for (long i = 0; i < M; ++i) {
+        if (y[i] == 0) a[u++] = a[i];
+        else ones[v++] = a[i];
+    }
+    memcpy(a + u, ones, v * sizeof(int32_t));
+    return u; /* = c, number of zeros */
+}
+
+EXPORT long fwd_ad(int32_t *a, int32_t *d, const uint8_t *y,
+                   int32_t *ones, int32_t *dones, long M, int32_t k)
+{
+    long u = 0, v = 0;
+    int32_t p = k + 1, q = k + 1;
+    for (long i = 0; i < M; ++i) {
+        int32_t di = d[i];
+        if (di > p) p = di;
+        if (di > q) q = di;
+        if (y[i] == 0) { a[u] = a[i]; d[u] = p; ++u; p = 0; }
+        else { ones[v] = a[i]; dones[v] = q; ++v; q = 0; }
+    }
+    memcpy(a + u, ones, v * sizeof(int32_t));
+    memcpy(d + u, dones, v * sizeof(int32_t));
+    d[0] = k + 2;
+    d[M] = k + 2;
+    return u;
+}
+
+/* full construction: cols is (N, M) site-major natural-order values;
+   fills yz (caller-sized; returns needed bytes, writing at most cap),
+   leaves the final prefix array in a. */
+EXPORT long build_pbwt(const uint8_t *cols, long M, long N, int32_t *a,
+                       uint8_t *yz, long cap)
+{
+    uint8_t *ybuf = (uint8_t *)malloc(M);
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    uint8_t *runbuf = (uint8_t *)malloc(M + 8);
+    long nout = 0;
+    for (long kk = 0; kk < N; ++kk) {
+        const uint8_t *x = cols + kk * M;
+        for (long i = 0; i < M; ++i) ybuf[i] = x[a[i]];
+        long nb = p3_encode(ybuf, M, runbuf);
+        if (nout + nb <= cap) memcpy(yz + nout, runbuf, nb);
+        nout += nb;
+        fwd_a(a, ybuf, ones, M);
+    }
+    free(ybuf); free(ones); free(runbuf);
+    return nout;
+}
+
+/* ------------------------------------------------------------------ */
+/* matching                                                            */
+/* ------------------------------------------------------------------ */
+
+/* set-maximal matches within a panel (algorithm 4), streaming over packed
+   sorted columns Ysort (N, M).  Reports (ai, bi, start, end) quadruples in
+   the same order as the reference scan; returns count (writes at most cap
+   rows so callers can size-and-retry). */
+EXPORT long max_within(const uint8_t *Ysort, long M, long N,
+                       const int32_t *a0, int64_t *out, long cap)
+{
+    int32_t *a = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *d = (int32_t *)calloc(M + 1, sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *dones = (int32_t *)malloc((M + 1) * sizeof(int32_t));
+    memcpy(a, a0, M * sizeof(int32_t));
+    d[0] = 1; d[M] = 1;
+    long nrep = 0;
+    static const uint8_t yz_zero = 0;
+    for (long kk = 0; kk <= N; ++kk) {
+        const uint8_t *y = kk < N ? Ysort + kk * M : &yz_zero; /* y unused at N */
+        for (long i = 0; i < M; ++i) {
+            long m = i - 1, n = i + 1;
+            if (d[i] <= d[i + 1]) {          /* scan up */
+                while (d[m + 1] <= d[i]) {
+                    if (kk < N && y[m] == y[i]) goto next_i;
+                    --m;
+                }
+            }
+            if (d[i] >= d[i + 1]) {          /* scan down */
+                while (d[n] <= d[i + 1]) {
+                    if (kk < N && y[n] == y[i]) goto next_i;
+                    ++n;
+                }
+            }
+            /* zero-length rows are kept: collector callbacks in the
+               reference (impute/paint) record them; printers filter */
+            for (long j = m + 1; j < i; ++j) {
+                if (nrep < cap) {
+                    int64_t *r = out + 4 * nrep;
+                    r[0] = a[i]; r[1] = a[j]; r[2] = d[i]; r[3] = kk;
+                }
+                ++nrep;
+            }
+            for (long j = i + 1; j < n; ++j) {
+                if (nrep < cap) {
+                    int64_t *r = out + 4 * nrep;
+                    r[0] = a[i]; r[1] = a[j]; r[2] = d[i + 1]; r[3] = kk;
+                }
+                ++nrep;
+            }
+        next_i:;
+        }
+        if (kk < N) fwd_ad(a, d, y, ones, dones, M, (int32_t)kk);
+    }
+    free(a); free(d); free(ones); free(dones);
+    return nrep;
+}
+
+/* dynamic sweep matching of queries against a panel (the production
+   matcher).  Ysp/Ysq are sorted-order columns of panel and query pbwts.
+   Reports (query, panel_hap, start, end) rows; returns count. */
+EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
+                        long Q, long N, const int32_t *ap0, const int32_t *aq0,
+                        int64_t *out, long cap)
+{
+    int32_t *ap = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *dp = (int32_t *)calloc(M + 1, sizeof(int32_t));
+    int32_t *aq = (int32_t *)malloc(Q * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc((M > Q ? M : Q) * sizeof(int32_t));
+    int32_t *dones = (int32_t *)malloc((M + 1) * sizeof(int32_t));
+    int32_t *u = (int32_t *)malloc((M + 1) * sizeof(int32_t));
+    int64_t *f = (int64_t *)calloc(Q, sizeof(int64_t));
+    int64_t *dq = (int64_t *)calloc(Q, sizeof(int64_t));
+    memcpy(ap, ap0, M * sizeof(int32_t));
+    memcpy(aq, aq0, Q * sizeof(int32_t));
+    dp[0] = 1; dp[M] = 1;
+    long nrep = 0;
+
+#define REPORT(ai, bi, s, e)                                   \
+    do {                                                       \
+        if (nrep < cap) {                                      \
+            int64_t *r = out + 4 * nrep;                       \
+            r[0] = (ai); r[1] = (bi); r[2] = (s); r[3] = (e);  \
+        }                                                      \
+        ++nrep;                                                \
+    } while (0)
+
+    for (long kk = 0; kk < N; ++kk) {
+        const uint8_t *yp = Ysp + kk * M;
+        const uint8_t *yq = Ysq + kk * Q;
+        for (long j = 0; j < Q; ++j) {
+            long jj = aq[j];
+            uint8_t x = yq[j];
+            if (yp[f[jj]] == x) continue;
+            /* same-length extension */
+            long iplus = f[jj];
+            int extended = 0;
+            while (++iplus < M && dp[iplus] <= dq[jj]) {
+                if (yp[iplus] == x) { f[jj] = iplus; extended = 1; break; }
+            }
+            if (extended) continue;
+            for (long i = f[jj]; i < iplus; ++i)
+                REPORT(jj, ap[i], dq[jj], kk);
+            /* widen [iminus, iplus] for the new best match */
+            long iminus = f[jj];
+            long dplus = iplus < M ? dp[iplus] : kk;
+            long dminus = dp[iminus];
+            for (;;) {
+                if (dminus <= dplus) {
+                    long i = -1;
+                    while (dp[iminus] <= dminus) {
+                        --iminus;
+                        if (yp[iminus] == x) i = iminus;
+                    }
+                    if (i >= 0) { f[jj] = i; dq[jj] = dminus; break; }
+                    dminus = dp[iminus];
+                } else {
+                    int found = 0;
+                    while (iplus < M && dp[iplus] <= dplus) {
+                        if (yp[iplus] == x) {
+                            f[jj] = iplus; dq[jj] = dplus; found = 1; break;
+                        }
+                        ++iplus;
+                    }
+                    if (found) break;
+                    dplus = iplus == M ? kk : dp[iplus];
+                    if (iminus == 0 && iplus == M) { dq[jj] = kk + 1; break; }
+                }
+            }
+        }
+        /* FM-step all query pointers */
+        {
+            long c = 0;
+            for (long i = 0; i < M; ++i) { u[i] = (int32_t)c; if (yp[i] == 0) ++c; }
+            u[M] = (int32_t)c;
+            for (long j = 0; j < Q; ++j) {
+                long jj = aq[j];
+                long fj = f[jj];
+                f[jj] = yq[j] ? c + fj - u[fj] : u[fj];
+                if (f[jj] == M) f[jj] = 0;
+            }
+        }
+        fwd_ad(ap, dp, yp, ones, dones, M, (int32_t)kk);
+        fwd_a(aq, yq, ones, Q);
+    }
+    for (long j = 0; j < Q; ++j) {
+        long jj = aq[j];
+        REPORT(jj, ap[f[jj]], dq[jj], N);
+        for (long i = f[jj] + 1; i < M && dp[i] <= dq[jj]; ++i)
+            REPORT(jj, ap[i], dq[jj], N);
+    }
+#undef REPORT
+    free(ap); free(dp); free(aq); free(ones); free(dones); free(u);
+    free(f); free(dq);
+    return nrep;
+}

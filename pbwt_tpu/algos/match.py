@@ -72,9 +72,17 @@ def _next_greater(d: np.ndarray, M: int) -> np.ndarray:
 def match_maximal_within(p: PBWT, report) -> None:
     """Algorithm 4 (matchMaximalWithin, pbwtMatch.c:115-142).
 
-    Per site the up/down neighbour scans are resolved with vectorised
-    previous/next-greater-element bounds plus prefix allele counts.
+    Native C fast path when available; otherwise per site the up/down
+    neighbour scans are resolved with vectorised previous/next-greater
+    bounds plus prefix allele counts.
     """
+    from ..core import native
+    a0 = p.aFstart if p.aFstart is not None else np.arange(p.M, dtype=np.int32)
+    rows = native.max_within(p.decoded(True), a0)
+    if rows is not None:
+        for ai, bi, s, e in rows.tolist():
+            report(ai, bi, s, e)
+        return
     Y = p.decoded(True)
     M, N = p.M, p.N
     a = (p.aFstart if p.aFstart is not None else np.arange(M, dtype=np.int32)).copy()
@@ -322,7 +330,23 @@ def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
     M, N, QM = p.M, p.N, q.M
     Yp = p.decoded(True)
     Yq = q.decoded(True)
-    up_a = (p.aFstart if p.aFstart is not None else np.arange(M, dtype=np.int32)).copy()
+
+    from ..core import native
+    ap0 = p.aFstart if p.aFstart is not None else np.arange(M, dtype=np.int32)
+    aq0 = q.aFstart if q.aFstart is not None else np.arange(QM, dtype=np.int32)
+    rows = native.sweep_match(Yp, ap0, Yq, aq0)
+    if rows is not None:
+        for ai, bi, s, e in rows.tolist():
+            report(ai, bi, s, e)
+        nz = rows[rows[:, 2] != rows[:, 3]]
+        tot_len = int((nz[:, 3] - nz[:, 2]).sum())
+        log(f"Average number of best matches including alternates "
+            f"{len(rows) / QM:.1f}, Average length "
+            f"{tot_len / max(len(nz), 1):.1f}, Av number per position "
+            f"{tot_len / (QM * N):.1f}")
+        return
+
+    up_a = ap0.copy()
     up_d = np.zeros(M + 1, dtype=np.int32)
     up_d[0] = 1
     up_d[M] = 1

@@ -249,11 +249,17 @@ def build_from_haplotypes(X: np.ndarray, a_init: np.ndarray | None = None
 
     Equivalent to streaming every column through a WriteCursor
     (the hot loop of every reference importer, e.g. pbwtIO.c:477-482).
-    Returns (yz bytes, aFend).
+    Returns (yz bytes, aFend).  Uses the native C runtime when available.
     """
     X = np.ascontiguousarray(X, dtype=np.uint8)
     M, N = X.shape
     a = np.arange(M, dtype=np.int32) if a_init is None else np.asarray(a_init, np.int32).copy()
+
+    from . import native
+    res = native.build_pbwt(np.ascontiguousarray(X.T), a)
+    if res is not None:
+        return res
+
     Ysort = np.empty((N, M), dtype=np.uint8)
     for k in range(N):
         y = X[a, k]

@@ -1,0 +1,163 @@
+"""ctypes bindings to the native host runtime (native/pbwt_native.c).
+
+Compiled on first use with the system C compiler and cached next to the
+package; every caller falls back to the numpy implementations when the
+toolchain or the cached library is unavailable, so the native layer is a
+pure accelerator, never a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native",
+                    "pbwt_native.c")
+_SO = os.path.join(_HERE, "_pbwt_native.so")
+
+_lib = None
+_tried = False
+
+
+def _compile() -> bool:
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        return res.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("PBWT_TPU_NO_NATIVE"):
+        return None
+    try:
+        if (not os.path.exists(_SO)
+                or (os.path.exists(_SRC)
+                    and os.path.getmtime(_SRC) > os.path.getmtime(_SO))):
+            if not os.path.exists(_SRC) or not _compile():
+                return None
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    L = ctypes.c_long
+    lib.p3_encode.restype = L
+    lib.p3_encode.argtypes = [u8p, L, u8p]
+    lib.p3_encode_cols.restype = L
+    lib.p3_encode_cols.argtypes = [u8p, L, L, u8p, i64p]
+    lib.p3_decode_cols.restype = L
+    lib.p3_decode_cols.argtypes = [u8p, L, L, L, u8p]
+    lib.fwd_a.restype = L
+    lib.fwd_a.argtypes = [i32p, u8p, i32p, L]
+    lib.fwd_ad.restype = L
+    lib.fwd_ad.argtypes = [i32p, i32p, u8p, i32p, i32p, L, ctypes.c_int32]
+    lib.build_pbwt.restype = L
+    lib.build_pbwt.argtypes = [u8p, L, L, i32p, u8p, L]
+    lib.max_within.restype = L
+    lib.max_within.argtypes = [u8p, L, L, i32p, i64p, L]
+    lib.sweep_match.restype = L
+    lib.sweep_match.argtypes = [u8p, L, u8p, L, L, i32p, i32p, i64p, L]
+    _lib = lib
+    return _lib
+
+
+# --------------------------------------------------------------------------
+# high-level wrappers (None return = use the numpy fallback)
+# --------------------------------------------------------------------------
+
+def build_pbwt(cols: np.ndarray, a0: np.ndarray):
+    """cols (N, M) site-major natural-order -> (yz bytes, aFend) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    N, M = cols.shape
+    cols = np.ascontiguousarray(cols, np.uint8)
+    a = np.ascontiguousarray(a0, np.int32).copy()
+    cap = max(1024, N * (M // 32 + 8))
+    while True:
+        yz = np.empty(cap, np.uint8)
+        a_try = a.copy()
+        n = lib.build_pbwt(cols, M, N, a_try, yz, cap)
+        if n <= cap:
+            return yz[:n].tobytes(), a_try
+        cap = n
+
+
+def decode_cols(yz: bytes, ncols: int, M: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(yz), np.uint8)
+    Y = np.empty((ncols, M), np.uint8)
+    used = lib.p3_decode_cols(buf, len(buf), ncols, M, Y.reshape(-1))
+    if used < 0:
+        raise ValueError("corrupt pack3 stream")
+    return Y
+
+
+def encode_cols(Y: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    Y = np.ascontiguousarray(Y, np.uint8)
+    ncols, M = Y.shape
+    out = np.empty(ncols * (M + 8) + 16, np.uint8)
+    offsets = np.empty(ncols + 1, np.int64)
+    n = lib.p3_encode_cols(Y.reshape(-1), ncols, M, out, offsets)
+    return out[:n].tobytes(), offsets
+
+
+def max_within(Ysort: np.ndarray, a0: np.ndarray):
+    """All set-maximal within-panel match reports as an (n, 4) int64 array
+    in reference scan order, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    N, M = Ysort.shape
+    Ysort = np.ascontiguousarray(Ysort, np.uint8)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    cap = max(4096, 8 * M)
+    while True:
+        out = np.empty((cap, 4), np.int64)
+        n = lib.max_within(Ysort.reshape(-1), M, N, a0, out.reshape(-1), cap)
+        if n <= cap:
+            return out[:n]
+        cap = n
+
+
+def sweep_match(Ysp: np.ndarray, ap0: np.ndarray, Ysq: np.ndarray,
+                aq0: np.ndarray):
+    """Dynamic sweep query-vs-panel match reports (n, 4) int64, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    N, M = Ysp.shape
+    Nq, Q = Ysq.shape
+    assert N == Nq
+    cap = max(4096, 8 * Q + N)
+    while True:
+        out = np.empty((cap, 4), np.int64)
+        n = lib.sweep_match(np.ascontiguousarray(Ysp, np.uint8).reshape(-1), M,
+                            np.ascontiguousarray(Ysq, np.uint8).reshape(-1), Q,
+                            N, np.ascontiguousarray(ap0, np.int32),
+                            np.ascontiguousarray(aq0, np.int32),
+                            out.reshape(-1), cap)
+        if n <= cap:
+            return out[:n]
+        cap = n

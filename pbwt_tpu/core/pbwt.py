@@ -70,15 +70,23 @@ class PBWT:
 
     def decoded(self, forwards: bool = True) -> np.ndarray:
         """(N, M) uint8 matrix of sorted-order column values."""
+        from . import native
+
+        def _unpack(buf):
+            Y = native.decode_cols(buf, self.N, self.M)
+            if Y is None:
+                Y, _ = p3.unpack_all(buf, self.M, self.N)
+            return Y
+
         if forwards:
             if self._decoded_f is None:
-                self._decoded_f, _ = p3.unpack_all(self.yz, self.M, self.N)
+                self._decoded_f = _unpack(self.yz)
             return self._decoded_f
         else:
             if self._decoded_r is None:
                 if self.zz is None:
                     raise ValueError("no reverse pbwt present")
-                self._decoded_r, _ = p3.unpack_all(self.zz, self.M, self.N)
+                self._decoded_r = _unpack(self.zz)
             return self._decoded_r
 
     def haplotypes(self) -> np.ndarray:
