@@ -64,11 +64,13 @@ def site_frequency_spectrum(p: PBWT) -> None:
     hist = np.bincount(counts1, minlength=p.M + 1)
     if p.sites is not None:
         from ..core import registry
+        vd = registry.variation_dict
+        chrom = p.chrom if p.chrom is not None else "(null)"
         with open("sites.freq", "w") as fp:
             for i, s in enumerate(p.sites):
                 s.freq = 1.0 - (p.M - int(counts1[i])) / p.M
-                fp.write(f"{p.chrom}\t{s.x}\t{s.freq:.6f}\t"
-                         f"{registry.variation_dict.name(s.varD)}\n")
+                name = vd.name(s.varD) if s.varD < len(vd) else "(null)"
+                fp.write(f"{chrom}\t{s.x}\t{s.freq:.6f}\t{name}\n")
     n = 0
     j = 0
     out = sys.stdout

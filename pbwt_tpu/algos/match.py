@@ -133,9 +133,11 @@ def match_long_within(p: PBWT, T: int, report) -> None:
     d = np.zeros(M + 1, dtype=np.int32)
     d[0] = 1
     d[M] = 1
-    y_end = np.zeros(M, dtype=np.uint8)
     for k in range(N + 1):
-        y = Y[k] if k < N else y_end
+        # at k == N the reference cursor still holds the LAST column's values
+        # (the read past the end leaves y stale), and the final flush compares
+        # alleles against it (matchLongWithin2 has no k<N guard on y)
+        y = Y[min(k, N - 1)]
         i0, na, nb = 0, 0, 0
         for i in range(M):
             if d[i] > k - T:
@@ -157,7 +159,43 @@ def match_long_within(p: PBWT, T: int, report) -> None:
             a, d = engine.forwards_ad(a, d, y, k)
 
 
-_match_length_hist: dict[int, int] | None = None
+def max_within_length_hist(p: PBWT) -> dict[int, int]:
+    """-stats mode of matchMaximalWithin (pbwtMatch.c:130-131): per unblocked
+    row one histogram entry of length k - d[i] (d[i] < d[i+1]) else
+    k - d[i+1]; reports are suppressed."""
+    Y = p.decoded(True)
+    M, N = p.M, p.N
+    a = (p.aFstart if p.aFstart is not None else np.arange(M, dtype=np.int32)).copy()
+    d = np.zeros(M + 1, dtype=np.int32)
+    d[0] = 1
+    d[M] = 1
+    hist: dict[int, int] = {}
+    for k in range(N + 1):
+        y = Y[k] if k < N else Y[N - 1]
+        dm = d
+        g = _prev_greater(dm, M)
+        h = _next_greater(dm, M)
+        c1 = np.zeros(M + 1, dtype=np.int64)
+        np.cumsum(y != 0, out=c1[1:])
+        c0 = np.arange(M + 1) - c1
+        up_applicable = dm[:M] <= dm[1:M + 1]
+        down_applicable = dm[:M] >= dm[1:M + 1]
+        for i in range(M):
+            yi = y[i]
+            if k < N:
+                if up_applicable[i] and i > g[i]:
+                    cnt = (c1[i] - c1[g[i]]) if yi else (c0[i] - c0[g[i]])
+                    if cnt > 0:
+                        continue
+                if down_applicable[i] and h[i] > i + 1:
+                    cnt = (c1[h[i]] - c1[i + 1]) if yi else (c0[h[i]] - c0[i + 1])
+                    if cnt > 0:
+                        continue
+            ln = k - int(dm[i]) if dm[i] < dm[i + 1] else k - int(dm[i + 1])
+            hist[ln] = hist.get(ln, 0) + 1
+        if k < N:
+            a, d = engine.forwards_ad(a, d, y, k)
+    return hist
 
 
 def long_matches(p: PBWT, L: int) -> None:
@@ -178,16 +216,12 @@ def long_matches(p: PBWT, L: int) -> None:
             check_match_maximal(haps[ai], haps[bi], start, end, p.N)
 
     if registry.is_stats and not L:
-        hist: dict[int, int] = {}
-
-        def report(ai, bi, start, end):  # noqa: F811 - stats mode histograms only
-            hist[end - start] = hist.get(end - start, 0) + 1
-
-        match_maximal_within(p, report)
+        hist = max_within_length_hist(p)
         n_tot = sum(hist.values())
         h_tot = sum(l * c for l, c in hist.items())
         for l in sorted(hist):
-            sys.stdout.write(f"{l}\t{hist[l]}\n")
+            if hist[l]:
+                sys.stdout.write(f"{l}\t{hist[l]}\n")
         log(f"Average {n_tot / p.M:.1f} matches per sample")
         log(f"Average length {h_tot / n_tot:.1f}")
         return

@@ -113,3 +113,9 @@ def pop_name(k: int) -> str:
 def variation(ref: str, alt: str) -> int:
     """Mirrors variation() (pbwtHtslib.c:37-50): intern "REF\\tALT"."""
     return variation_dict.add(f"{ref}\t{alt}")
+
+
+def variation_name(varD: int) -> str:
+    """dictName with the C printf NULL rendering for unregistered ids
+    (sites imported without variations, e.g. MaCS)."""
+    return variation_dict.name(varD) if varD < len(variation_dict) else "(null)"

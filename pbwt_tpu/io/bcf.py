@@ -129,7 +129,7 @@ def write_bcf(p, filename: str, reference_fasta: str | None = None,
         hap[a] = y
         if is_dosage:
             ad[a] = dosage_retrieve(p, y, i)
-        als = vd.name(s.varD).split("\t")
+        als = registry.variation_name(s.varD).split("\t")
         ref = als[0]
         alt = als[1] if len(als) > 1 else "."
         alleles = [ref] + ([alt] if alt != "." else [])

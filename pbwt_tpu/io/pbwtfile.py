@@ -86,7 +86,10 @@ def write_sites(p: PBWT, fp) -> None:
     vd = registry.variation_dict
     chrom = p.chrom if p.chrom else "."
     for s in p.sites:
-        fp.write(f"{chrom}\t{s.x}\t{vd.name(s.varD)}\n")
+        # unregistered varD prints "(null)" exactly as the reference's
+        # printf of a NULL dictName does (e.g. MaCS imports)
+        name = vd.name(s.varD) if s.varD < len(vd) else "(null)"
+        fp.write(f"{chrom}\t{s.x}\t{name}\n")
     log(f"written {p.N} sites from {p.sites[0].x} to {p.sites[-1].x}")
 
 

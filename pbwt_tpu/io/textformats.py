@@ -86,7 +86,8 @@ def read_macs(fp) -> PBWT:
         pos = int(L * float(parts[2]))
         haps = parts[4]
         x = np.frombuffer(haps.encode(), dtype=np.uint8) - ord("0")
-        p.sites.append(Site(x=pos, varD=registry.variation_dict.add("0\t1")))
+        # NB the reference leaves varD unset for MaCS sites (pbwtIO.c:438-456)
+        p.sites.append(Site(x=pos, varD=0))
         u.write_natural(x)
         p.N += 1
         _maybe_checkpoint(u, p)
@@ -259,7 +260,7 @@ def write_impute_ref(p: PBWT, root: str) -> None:
     with fopen_tag(root, "imputeLegend", "w") as fp:
         fp.write("rsID\tposition\ta0\ta1\n")
         for i, s in enumerate(p.sites):
-            fp.write(f"site{i + 1}\t{s.x}\t{vd.name(s.varD)}\n")
+            fp.write(f"site{i + 1}\t{s.x}\t{registry.variation_name(s.varD)}\n")
         log(f"written {p.N} sites from {p.sites[0].x} to {p.sites[-1].x}")
 
 
@@ -273,7 +274,7 @@ def write_impute_haps_g(p: PBWT, fp) -> None:
     hap = np.empty(p.M, dtype=np.uint8)
     for i, s in enumerate(p.sites):
         hap[a] = Y[i]
-        fp.write(f"site{i + 1}\tsite{i + 1}\t{s.x}\t{vd.name(s.varD)}")
+        fp.write(f"site{i + 1}\tsite{i + 1}\t{s.x}\t{registry.variation_name(s.varD)}")
         fp.write("".join(f" {int(v) and 1}" for v in hap))
         fp.write("\n")
         a = engine.forwards_a(a, Y[i])
@@ -291,7 +292,7 @@ def write_gen(p: PBWT, fp) -> None:
     ad = np.empty(p.M, dtype=np.float64)
     is_dosage = p.dosageOffset is not None
     for i, s in enumerate(p.sites):
-        als = vd.name(s.varD)
+        als = registry.variation_name(s.varD)
         als_u = als.replace("\t", "_")
         fp.write(f"{p.chrom}:{s.x}_{als_u} {p.chrom}:{s.x}_{als_u} {s.x}"
                  f" {als_u.replace('_', ' ')}")

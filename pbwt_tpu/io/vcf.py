@@ -276,7 +276,7 @@ def format_records(p: PBWT):
         hap[a] = y
         if is_dosage:
             ad[a] = dosage_retrieve(p, y, i)
-        als = vd.name(s.varD).split("\t")
+        als = registry.variation_name(s.varD).split("\t")
         ref = als[0]
         alt = als[1] if len(als) > 1 else "."
         ac = int(np.minimum(hap, 1).sum())
