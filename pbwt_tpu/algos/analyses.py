@@ -93,6 +93,10 @@ def impute_explore(p: PBWT, test: int) -> None:
                   fsum=0.0) for _ in range(17)]
     c0 = np.zeros((17, 5), dtype=np.int64)
     c1 = np.zeros((17, 5), dtype=np.int64)
+    d_hist: dict[int, np.ndarray] = {}
+    c_simple = np.zeros(4, dtype=np.int64)
+    c_cond0 = np.zeros(4, dtype=np.int64)
+    c_cond1 = np.zeros(4, dtype=np.int64)
 
     p.build_reverse()
     Y = p.decoded(True)
@@ -140,6 +144,16 @@ def impute_explore(p: PBWT, test: int) -> None:
             t["n10a"] += int((mixed & lower0 & (yc == 0)).sum())
             t["n11b"] += int((mixed & ~lower0 & (yc == 1)).sum())
             t["n10b"] += int((mixed & ~lower0 & (yc == 0)).sum())
+            # dHist / cSimple / cCond (pbwtImpute.c:85-90): keyed by
+            # y[i-1] + 2*y[i], bucketed by d[i]/100, conditioned on y[i+1]
+            code = (ym + 2 * yc).astype(np.int64)
+            buckets = (da // 100).astype(np.int64)
+            for b in np.unique(buckets):
+                row = d_hist.setdefault(int(b), np.zeros(4, np.int64))
+                np.add.at(row, code[buckets == b], 1)
+            np.add.at(c_simple, code, 1)
+            np.add.at(c_cond1, code[yp_ == 1], 1)
+            np.add.at(c_cond0, code[yp_ == 0], 1)
             idx_f = a[1:M - 1]
             np.add.at(n0, idx_f, 2 - (ym + yp_))
             np.add.at(n1, idx_f, ym + yp_)
@@ -170,18 +184,53 @@ def impute_explore(p: PBWT, test: int) -> None:
             if tot:
                 xbar = (t["n10b"] + t["n11b"] + t["n20"] + t["n21"]) / tot
                 ybar = (t["n01"] + t["n11a"] + t["n11b"] + t["n21"]) / tot
+                from ..utils import c_f
                 denom = math.sqrt((xbar - xbar ** 2) * (ybar - ybar ** 2))
-                r2 = ((t["n21"] + t["n11b"]) / tot - xbar * ybar) / denom if denom else 0.0
-                out.write(f"\tx,y,r2\t{xbar:.4f}\t{ybar:.4f}\t{r2:.4f}\n")
+                r2 = (((t["n21"] + t["n11b"]) / tot - xbar * ybar) / denom
+                      if denom else float("nan"))
+                out.write(f"\tx,y,r2\t{xbar:.4f}\t{ybar:.4f}\t{c_f(r2)}\n")
             else:
                 out.write("\n")
+    elif test == 2:
+        top = max(d_hist) if d_hist else -1
+        for j in range(top + 1):
+            c = d_hist.get(j, np.zeros(4, np.int64))
+            out.write(f"{j}\t{c[0]}\t{c[1]}\t{c[2]}\t{c[3]}")
+            out.write(f"\t{c[0] / (c[0] + c[2]):.3f}" if c[0] + c[2] else "\t0")
+            out.write(f"\t{c[3] / (c[1] + c[3]):.3f}" if c[1] + c[3] else "\t0")
+            out.write("\n")
+    elif test == 3:
+        out.write(f"{c_simple[0] / (c_simple[0] + c_simple[2]):.3f} "
+                  f"{c_simple[3] / (c_simple[1] + c_simple[3]):.3f}\t")
+        out.write(f"{c_cond0[0] / (c_cond0[0] + c_cond0[2]):.3f} "
+                  f"{c_cond0[3] / (c_cond0[1] + c_cond0[3]):.3f}\t")
+        out.write(f"{c_cond1[0] / (c_cond1[0] + c_cond1[2]):.3f} "
+                  f"{c_cond1[3] / (c_cond1[1] + c_cond1[3]):.3f}\n")
     elif test == 4:
         for jj in range(17):
             out.write(f"{f_bound[jj]:<5.1f}")
-            tot = int(c0[jj].sum() + c1[jj].sum())
+            tot = float(c0[jj].sum() + c1[jj].sum())
             out.write(f"\t{(stats[jj]['fsum'] / tot if tot else 0.0):<7.3f}")
+            xbar = 0.0
+            r2 = 0.0
             for i in range(5):
                 ssum = int(c0[jj][i] + c1[jj][i])
                 out.write(f"\t{ssum} ")
                 out.write(f" {c1[jj][i] / ssum:.3f}" if ssum else " 00000")
-            out.write("\n")
+                xbar += float(c1[jj][i])
+                if i in (3, 4):
+                    r2 += float(c1[jj][i])
+                if i == 2:
+                    r2 += 0.5 * float(c1[jj][i])
+                tot += ssum          # NB doubles tot, exactly as the reference
+            ybar = float(c0[jj][4] + c1[jj][4] + c0[jj][3] + c1[jj][3]
+                         + 0.5 * (c0[jj][2] + c1[jj][2]))
+            if tot:
+                xbar /= tot
+                ybar /= tot
+                from ..utils import c_f
+                denom = math.sqrt((xbar - xbar * xbar) * (ybar - ybar * ybar))
+                r2 = (r2 / tot - xbar * ybar) / denom if denom else float("nan")
+                out.write(f"\tx,y,r2\t{xbar:.4f}\t{ybar:.4f}\t{c_f(r2)}\n")
+            else:
+                out.write("\n")

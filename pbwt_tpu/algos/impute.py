@@ -371,10 +371,11 @@ def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
             x2 = (row[3] + row[4] + row[5] + 4 * (row[6] + row[7] + row[8])) / tot
             ybar = (row[1] + row[4] + row[7] + 2 * (row[2] + row[5] + row[8])) / tot
             y2 = (row[1] + row[4] + row[7] + 4 * (row[2] + row[5] + row[8])) / tot
+            from ..utils import c_f
             r2 = (row[4] + 2 * (row[5] + row[7]) + 4 * row[8]) / tot
             denom = math.sqrt((x2 - xbar * xbar) * (y2 - ybar * ybar))
-            r2 = (r2 - xbar * ybar) / denom if denom else 0.0
-            out.write(f"\tx,y,r2\t{xbar:.4f}\t{ybar:.4f}\t{r2:.4f}")
+            r2 = (r2 - xbar * ybar) / denom if denom else float("nan")
+            out.write(f"\tx,y,r2\t{xbar:.4f}\t{ybar:.4f}\t{c_f(r2)}")
             if ni[ff]:
                 out.write(f"\t info {isum[ff] / ni[ff]:.4f}")
         out.write("\n")

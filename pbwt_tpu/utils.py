@@ -43,3 +43,11 @@ def time_update(file=None) -> None:
 def fopen_tag(root: str, tag: str, mode: str):
     """fopenTag (utils.c:80-90): open root.tag."""
     return open(f"{root}.{tag}", mode)
+
+
+def c_f(v: float, prec: int = 4) -> str:
+    """printf("%.Nf") rendering incl. the glibc "-nan" for 0/0 results."""
+    import math
+    if math.isnan(v):
+        return "-nan"
+    return f"{v:.{prec}f}"

@@ -10,6 +10,9 @@ Known reference defects we do NOT reproduce (validated manually):
     uninitialised garbage; we implement the intended semantics.
   - referencePhase/selectSites segfault on MaCS imports (NULL variation
     names); we print "(null)" like the reference's own writeSites printf.
+  - readHapLegend consumes two legend lines per hap line (getVariation eats
+    the newline, then the skip loop eats the next line), garbling its own
+    writeImputeRef output; we pair line i of the legend with hap line i.
 """
 
 import os
@@ -113,6 +116,11 @@ CASES = [
     ("vcfq-fit1", ["-readVcfq", "big.tab", "-fitAlphaBeta", "1"]),
     ("vcfq-llcopy", ["-readVcfq", "big.tab", "-subsample", "0", "12",
                      "-llCopyModel", "0.1", "0.05"]),
+    ("vcfq-ie1", ["-readVcfq", "big.tab", "-imputeExplore", "1"]),
+    ("vcfq-ie2", ["-readVcfq", "big.tab", "-imputeExplore", "2"]),
+    ("vcfq-ie3", ["-readVcfq", "big.tab", "-imputeExplore", "3"]),
+    ("vcfq-ie4", ["-readVcfq", "big.tab", "-imputeExplore", "4"]),
+    ("vcfq-check-max", ["-readVcfq", "big.tab", "-check", "-maxWithin"]),
 ]
 
 
