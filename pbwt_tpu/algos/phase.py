@@ -274,7 +274,6 @@ def reference_phase4(p_old: PBWT, p_ref: PBWT) -> PBWT:
     uref = engine.ReadCursor(YRef, p_ref.aFstart)
 
     n_pairs = M_old // 2
-    NEG = np.float32(0)
     s = np.zeros((n_pairs, M + 1), dtype=np.float32)
     s[:, 0] = -1.0
     j1 = np.zeros((n_pairs, M + 1), dtype=np.int64)

@@ -220,7 +220,7 @@ def _main(argv: list[str] | None = None) -> int:
             argv = argv[2:]
         elif cmd == "-readVcfPL":
             need(1)
-            log("readVcfPL parses but does not build a PBWT (as in the reference)")
+            p = vcf.read_vcf_pl(argv[1])
             argv = argv[2:]
         elif cmd == "-readMacs":
             need(1)

@@ -131,6 +131,111 @@ def unpack_all(yz, M: int, N: int | None = None):
     return flat.reshape(ncols, M), col_offsets
 
 
+def extend_match_forwards(yzp, M: int, x: int, f: int, g: int,
+                          off: int = 0) -> tuple[int, int, int]:
+    """FM-style extension of a match interval [f, g) one column forward on
+    the packed stream (extendMatchForwards, pbwtCore.c:320-357).
+
+    Returns (f', g', bytes_consumed)."""
+    m = 0
+    nc = [0, 0]
+    pos = off
+    z = 0
+    # advance to the block containing f
+    while m <= f:
+        b = yzp[pos]
+        pos += 1
+        n = int(P3DECODE[b & 0x7F])
+        m += n
+        z = b >> 7
+        nc[z] += n
+    f = f + nc[z] - m if z == x else nc[z]
+    if g < M:
+        while m <= g:
+            b = yzp[pos]
+            pos += 1
+            n = int(P3DECODE[b & 0x7F])
+            m += n
+            z = b >> 7
+            nc[z] += n
+        g = g + nc[z] - m if z == x else nc[z]
+    while m < M:
+        b = yzp[pos]
+        pos += 1
+        n = int(P3DECODE[b & 0x7F])
+        m += n
+        nc[b >> 7] += n
+    if g == M:
+        g = (M - nc[0]) if x else nc[0]
+    if x:
+        f += nc[0]
+        g += nc[0]
+    return f, g, pos - off
+
+
+def extend_packed_forwards(yzp, M: int, f: int, off: int = 0
+                           ) -> tuple[int, int, int]:
+    """Move a single pointer f one column forward on the packed stream
+    (extendPackedForwards, pbwtCore.c:360-373).
+
+    Returns (f', value_at_f, bytes_consumed)."""
+    m = 0
+    nc = [0, 0]
+    pos = off
+    z = 0
+    while m <= f:
+        b = yzp[pos]
+        pos += 1
+        n = int(P3DECODE[b & 0x7F])
+        m += n
+        z = b >> 7
+        nc[z] += n
+    f = f + nc[z] - m
+    val = z
+    while m < M:
+        b = yzp[pos]
+        pos += 1
+        n = int(P3DECODE[b & 0x7F])
+        m += n
+        nc[b >> 7] += n
+    if val:
+        f += nc[0]
+    return f, val, pos - off
+
+
+def extend_packed_backwards(yzp, M: int, f: int, c: int, off: int
+                            ) -> tuple[int, int, int]:
+    """Move a single pointer f one column backward on the packed stream
+    (extendPackedBackwards, pbwtCore.c:375-397).  ``off`` is the byte
+    offset of the NEXT column; ``c`` is the zero-count of the previous one.
+
+    Returns (f', value, start_offset_of_previous_column)."""
+    pos = off
+    m = 0
+    while m < M:
+        pos -= 1
+        m += int(P3DECODE[yzp[pos] & 0x7F])
+    start = pos
+    m = 0
+    nc = [0, 0]
+    if f < c:                       # it was a 0
+        while nc[0] <= f:
+            b = yzp[pos]
+            pos += 1
+            n = int(P3DECODE[b & 0x7F])
+            m += n
+            nc[b >> 7] += n
+        return f + nc[1], 0, start
+    else:                           # it was a 1
+        while nc[1] <= f - c:
+            b = yzp[pos]
+            pos += 1
+            n = int(P3DECODE[b & 0x7F])
+            m += n
+            nc[b >> 7] += n
+        return f + nc[0] - c, 1, start
+
+
 def pack_columns(Y: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Pack many columns; returns (bytes, per-column byte offsets len ncols+1).
 

@@ -202,6 +202,50 @@ def _build_from_records(filename: str, sample_names, records) -> PBWT:
     return p
 
 
+def read_vcf_pl(filename: str) -> PBWT:
+    """pbwtReadVcfPL (pbwtHtslib.c:174-224): parses PL fields and prints the
+    first 10 values of the first 10 biallelic records, but builds no PBWT
+    (the reference returns an empty object)."""
+    kind, raw = _open_vcf_stream(filename)
+    if kind == "bcf":
+        from . import bcf
+        _, sample_names, records = bcf.read_bcf(raw)
+    else:
+        _, sample_names, records = _parse_vcf_text(raw)
+    p = None
+    k = 0
+    out = sys.stdout
+    for f in records:
+        if p is None:
+            p = PBWT(len(sample_names) * 2, 0)
+            p.samples = []
+            for name in sample_names:
+                sid = registry.sample_add(name)
+                p.samples.extend([sid, sid])
+        k += 1
+        if "," in f[4] or f[4] == ".":
+            continue                     # not biallelic
+        if k <= 10:
+            out.write(f"{f[0]}:{f[1]} {f[3]} {f[4]}")
+        fmt = f[8].split(":") if len(f) > 8 else []
+        if "PL" in fmt:
+            pli = fmt.index("PL")
+            for i, s in enumerate(f[9:]):
+                parts = s.split(":")
+                if pli >= len(parts):
+                    continue
+                for j, v in enumerate(parts[pli].split(",")):
+                    if v == "." or not v:
+                        continue
+                    if k <= 10 and i < 10:
+                        out.write(f"{'.' if j else ' '}{int(v)}")
+        if k <= 10:
+            out.write("\n")
+    if p is None:
+        p = PBWT(0, 0)
+    return p
+
+
 # --------------------------------------------------------------------------
 # writing (pbwtWriteVcf, pbwtHtslib.c:237-396)
 # --------------------------------------------------------------------------
