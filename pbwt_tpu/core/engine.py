@@ -12,6 +12,8 @@ used by file I/O, the CLI and the golden tests.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import pack3 as p3
@@ -254,6 +256,13 @@ def build_from_haplotypes(X: np.ndarray, a_init: np.ndarray | None = None
     X = np.ascontiguousarray(X, dtype=np.uint8)
     M, N = X.shape
     a = np.arange(M, dtype=np.int32) if a_init is None else np.asarray(a_init, np.int32).copy()
+
+    if os.environ.get("PBWT_TPU_DEVICE") and a_init is None and M * N > 1 << 20:
+        # route large builds through the device engine (byte-identical; see
+        # tests/test_device_build.py)
+        from ..ops.build import build_pbwt_device
+        yz, a_end, _ = build_pbwt_device(X)
+        return yz, a_end
 
     from . import native
     res = native.build_pbwt(np.ascontiguousarray(X.T), a)

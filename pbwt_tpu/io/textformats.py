@@ -31,6 +31,11 @@ def _maybe_checkpoint(u: engine.WriteCursor, p: PBWT) -> None:
 # --------------------------------------------------------------------------
 
 def read_vcfq(fp) -> PBWT:
+    import os
+    # with PBWT_TPU_DEVICE set (and no checkpoint cadence to honour), columns
+    # are accumulated and the whole build runs on the device engine
+    batch = bool(os.environ.get("PBWT_TPU_DEVICE")) and not registry.n_checkpoint
+    cols: list[np.ndarray] = []
     p: PBWT | None = None
     u: engine.WriteCursor | None = None
     for line in fp:
@@ -48,7 +53,8 @@ def read_vcfq(fp) -> PBWT:
             if chrom != ".":
                 p.chrom = chrom
             p.sites = []
-            u = engine.WriteCursor(p.M)
+            if not batch:
+                u = engine.WriteCursor(p.M)
         else:
             if chrom != "." and p.chrom and chrom != p.chrom:
                 continue     # skip other chromosomes (readMatchChrom)
@@ -56,11 +62,23 @@ def read_vcfq(fp) -> PBWT:
                 raise ValueError("length mismatch reading vcfq line")
         s = Site(x=pos, varD=registry.variation_dict.add(var))
         p.sites.append(s)
-        u.write_natural(x.astype(np.uint8))
+        if batch:
+            cols.append(x.astype(np.uint8))
+        else:
+            u.write_natural(x.astype(np.uint8))
         p.N += 1
-        _maybe_checkpoint(u, p)
+        if not batch:
+            _maybe_checkpoint(u, p)
     if p is None:
         raise ValueError("empty vcfq file")
+    if batch:
+        from ..ops.build import build_pbwt_device
+        X = np.ascontiguousarray(np.stack(cols, axis=1))
+        p.yz, p.aFend, _ = build_pbwt_device(X)
+        chrom = f" for chromosome {p.chrom}" if p.chrom else ""
+        log(f"read vcfq file{chrom}: M, N are\t{p.M}\t{p.N}; "
+            f"yz length is {len(p.yz)}")
+        return p
     return _finish_build(p, u, "vcfq")
 
 
