@@ -114,8 +114,8 @@ def match_scan(panel_cols: jnp.ndarray, query_cols: jnp.ndarray,
         # record the reported interval (the OLD e, f, g at this site)
         rec = (collapsed, e, f, g)
 
-        # advance panel state (positions + divergence), as in ops.build
-        pos = jnp.where(mask0, r0 - 1, c + idxM - r0)
+        # advance panel state via the stable-sort partition (see ops.build:
+        # XLA serialises dynamic scatters on TPU, its sort is vectorised)
         kk = jnp.asarray(k, d.dtype)
         prev0 = jnp.concatenate([jnp.zeros(1, bool), mask0[:-1]])
         prev1 = jnp.concatenate([jnp.zeros(1, bool), (~mask0)[:-1]])
@@ -124,8 +124,9 @@ def match_scan(panel_cols: jnp.ndarray, query_cols: jnp.ndarray,
         p = _segmented_running_max(seed[:Mp], prev0)
         q = _segmented_running_max(seed[:Mp], prev1)
         payload = jnp.where(mask0, p, q)
-        a_next = jnp.zeros_like(a).at[pos].set(a)
-        d_next = jnp.zeros_like(d).at[pos].set(payload)      # d has Mp+1 slots
+        _, a_next, d_core = jax.lax.sort((y, a, payload), num_keys=1,
+                                         is_stable=True)
+        d_next = jnp.concatenate([d_core, jnp.zeros(1, d.dtype)])
         d_next = d_next.at[0].set(kk + 2)
         d_next = d_next.at[Mp].set(kk + 2)
 
