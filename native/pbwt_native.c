@@ -147,6 +147,22 @@ EXPORT long build_pbwt(const uint8_t *cols, long M, long N, int32_t *a,
     return nout;
 }
 
+/* cache-blocked uint8 transpose: (R, C) row-major -> (C, R) row-major.
+   numpy's strided byte transpose is ~10x slower than the build itself. */
+EXPORT void transpose_u8(const uint8_t *src, long R, long C, uint8_t *dst)
+{
+    const long B = 64;
+    for (long r0 = 0; r0 < R; r0 += B) {
+        long r1 = r0 + B < R ? r0 + B : R;
+        for (long c0 = 0; c0 < C; c0 += B) {
+            long c1 = c0 + B < C ? c0 + B : C;
+            for (long r = r0; r < r1; ++r)
+                for (long c = c0; c < c1; ++c)
+                    dst[c * R + r] = src[r * C + c];
+        }
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* matching                                                            */
 /* ------------------------------------------------------------------ */

@@ -265,7 +265,10 @@ def build_from_haplotypes(X: np.ndarray, a_init: np.ndarray | None = None
         return yz, a_end
 
     from . import native
-    res = native.build_pbwt(np.ascontiguousarray(X.T), a)
+    cols = native.transpose_u8(X)
+    if cols is None:
+        cols = np.ascontiguousarray(X.T)
+    res = native.build_pbwt(cols, a)
     if res is not None:
         return res
 

@@ -73,6 +73,8 @@ def get_lib():
     lib.max_within.argtypes = [u8p, L, L, i32p, i64p, L]
     lib.sweep_match.restype = L
     lib.sweep_match.argtypes = [u8p, L, u8p, L, L, i32p, i32p, i64p, L]
+    lib.transpose_u8.restype = None
+    lib.transpose_u8.argtypes = [u8p, L, L, u8p]
     _lib = lib
     return _lib
 
@@ -80,6 +82,30 @@ def get_lib():
 # --------------------------------------------------------------------------
 # high-level wrappers (None return = use the numpy fallback)
 # --------------------------------------------------------------------------
+
+_transpose_pool: dict[tuple, np.ndarray] = {}
+
+
+def transpose_u8(X: np.ndarray):
+    """Cache-blocked (R, C) -> (C, R) uint8 transpose, or None.
+
+    The output buffer is pooled per shape: fresh multi-MB allocations fault
+    in at ~80 MB/s in sandboxed containers, an order of magnitude slower
+    than the transpose itself.  Callers must treat the result as scratch
+    (engine.build_from_haplotypes consumes and discards it)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    X = np.ascontiguousarray(X, np.uint8)
+    R, C = X.shape
+    out = _transpose_pool.get((C, R))
+    if out is None:
+        out = np.empty((C, R), np.uint8)
+        _transpose_pool.clear()
+        _transpose_pool[(C, R)] = out
+    lib.transpose_u8(X, R, C, out)
+    return out
+
 
 def build_pbwt(cols: np.ndarray, a0: np.ndarray):
     """cols (N, M) site-major natural-order -> (yz bytes, aFend) or None."""
