@@ -33,11 +33,11 @@ def main():
     Mp = dbuild.pad_to(M, 256)
     cols = np.ones((N, Mp), dtype=np.uint8)
     cols[:, :M] = X_cols
-    x_dev = jnp.asarray(cols)
+    w_dev = jnp.asarray(dbuild.pack_group_words(cols))
     a0 = jnp.arange(Mp, dtype=jnp.int32)
 
     def run():
-        out = dbuild.build_scan(x_dev, a0, with_divergence=False)
+        out = dbuild.build_scan_grouped(w_dev, a0, with_divergence=False)
         # force real execution: block_until_ready is unreliable on tunneled
         # backends, so fetch the (small) final prefix array and counts
         return np.asarray(out[2]), np.asarray(out[1])

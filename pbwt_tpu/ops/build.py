@@ -136,6 +136,93 @@ def build_scan(X_cols: jnp.ndarray, a0: jnp.ndarray, with_divergence: bool = Tru
     return ybits, counts, a_end, d_end
 
 
+GROUP = 32  # sites per packed word in the grouped build
+
+
+def pack_group_words(X_cols: np.ndarray) -> np.ndarray:
+    """(N, Mp) uint8 site-major columns -> (ceil(N/32), Mp) int32 words.
+
+    Word t, row i holds sites 32t..32t+31 of haplotype i, site 32t at bit 0.
+    Sites beyond N are padded with 1-bits: an all-ones column leaves the
+    sort order unchanged, so trailing pad sites are harmless no-ops.
+    """
+    N, Mp = X_cols.shape
+    Ng = (N + GROUP - 1) // GROUP
+    padded = np.ones((Ng * GROUP, Mp), dtype=np.uint8)
+    padded[:N] = X_cols
+    W = np.zeros((Ng, Mp), dtype=np.uint32)
+    blocks = padded.reshape(Ng, GROUP, Mp).astype(np.uint32)
+    for s in range(GROUP):
+        W |= blocks[:, s, :] << np.uint32(s)
+    return W.astype(np.int32)
+
+
+def _sort_gather(w_nat: jnp.ndarray, a: jnp.ndarray, iota: jnp.ndarray):
+    """R[i] = w_nat[a[i]] for a permutation ``a`` — computed with two stable
+    sorts instead of a gather (XLA's arbitrary 1-D gather on TPU is nearly
+    serial: measured 1.8 ms for 64k int32, vs ~0.27 ms for the two sorts)."""
+    _, inv = jax.lax.sort((a, iota), num_keys=1, is_stable=True)
+    _, r = jax.lax.sort((inv, w_nat), num_keys=1, is_stable=True)
+    return r
+
+
+@partial(jax.jit, static_argnames=("with_divergence", "n_sites"))
+def build_scan_grouped(W: jnp.ndarray, a0: jnp.ndarray,
+                       with_divergence: bool = False,
+                       n_sites: int | None = None):
+    """Grouped-packed PBWT construction (the fast path).
+
+    ``W`` is (Ng, Mp) int32 from :func:`pack_group_words`.  Instead of
+    gathering one allele column per site through the evolving prefix array
+    (the reference's y[j] = x[a[j]] permute, pbwtHtslib.c:134), 32 future
+    sites ride along each haplotype as one packed word: the word array is
+    aligned to the current sort order once per group (two-sort gather) and
+    then carried as sort payload through the 32 per-site stable partitions,
+    so the near-serial XLA gather is paid once per 32 sites.
+
+    Returns (ybits (Ng*32, Mp//8), counts (Ng*32,), a_end, d_end).
+    """
+    Ng, Mp = W.shape
+    iota = jnp.arange(Mp, dtype=jnp.int32)
+    shifts = jnp.array([7, 6, 5, 4, 3, 2, 1, 0], dtype=jnp.uint8)
+    d0 = jnp.zeros(Mp, dtype=jnp.int32).at[0].set(1)
+
+    def group_step(carry, w_nat):
+        a, d, k = carry
+        w = _sort_gather(w_nat, a, iota)
+        ybits, counts = [], []
+        for s in range(GROUP):
+            key = ((w >> s) & 1).astype(jnp.uint8)
+            counts.append(Mp - jnp.sum(key, dtype=jnp.int32))
+            ybits.append((key.reshape(Mp // 8, 8) << shifts)
+                         .sum(axis=1).astype(jnp.uint8))
+            if with_divergence:
+                kk = k + s
+                mask0 = key == 0
+                prev0 = jnp.concatenate([jnp.zeros(1, bool), mask0[:-1]])
+                prev1 = jnp.concatenate([jnp.zeros(1, bool), (~mask0)[:-1]])
+                seed = d.at[0].max(kk + 1)
+                p = _segmented_running_max(seed, prev0)
+                q = _segmented_running_max(seed, prev1)
+                pq = jnp.where(mask0, p, q)
+                _, a, d, w = jax.lax.sort((key, a, pq, w), num_keys=1,
+                                          is_stable=True)
+                d = d.at[0].set(kk + 2)
+            else:
+                _, a, w = jax.lax.sort((key, a, w), num_keys=1,
+                                       is_stable=True)
+        return (a, d, k + GROUP), (jnp.stack(ybits), jnp.stack(counts))
+
+    (a_end, d_end, _), (ybits, counts) = jax.lax.scan(
+        group_step, (a0, d0, jnp.int32(0)), W)
+    if with_divergence and n_sites is not None and n_sites % GROUP:
+        # trailing all-ones pad sites only advance the d[0] = k+2 sentinel;
+        # restore the value it had after the last real site
+        d_end = d_end.at[0].set(n_sites + 1)
+    return (ybits.reshape(Ng * GROUP, Mp // 8),
+            counts.reshape(Ng * GROUP), a_end, d_end)
+
+
 def prepare_columns(X: np.ndarray, multiple: int = 256) -> tuple[np.ndarray, int]:
     """(M, N) natural-order haplotypes -> (N, Mp) site-major padded columns."""
     M, N = X.shape
@@ -161,7 +248,9 @@ def build_pbwt_device(X: np.ndarray, multiple: int = 256):
     M, N = X.shape
     cols, Mp = prepare_columns(X, multiple)
     a0 = jnp.arange(Mp, dtype=jnp.int32)
-    ybits, counts, a_end, _ = build_scan(jnp.asarray(cols), a0)
+    W = jnp.asarray(pack_group_words(cols))
+    ybits, counts, a_end, _ = build_scan_grouped(W, a0)
+    ybits, counts = ybits[:N], counts[:N]
     Ysort = unpack_bits_host(np.asarray(ybits), M)
     yz, _ = p3.pack_columns(Ysort)
     a_end_host = np.asarray(a_end)[:M].astype(np.int32)

@@ -42,6 +42,28 @@ def test_device_divergence_matches_host():
     assert (np.asarray(d_end)[:M] == d[:M]).all()
 
 
+@pytest.mark.parametrize("seed,M,N", [(5, 24, 40), (6, 16, 70), (7, 32, 32)])
+def test_grouped_build_matches_ungrouped(seed, M, N):
+    """Grouped packed-word build == per-site build, incl. non-multiple-of-32
+    site counts and the divergence payload path."""
+    from pbwt_tpu.ops import build as dbuild
+    import jax.numpy as jnp
+    X = rand_haps(seed, M, N)
+    cols, Mp = dbuild.prepare_columns(X, multiple=8)
+    a0 = jnp.arange(Mp, dtype=jnp.int32)
+    ref = dbuild.build_scan(jnp.asarray(cols), a0, with_divergence=True)
+    W = jnp.asarray(dbuild.pack_group_words(cols))
+    got = dbuild.build_scan_grouped(W, a0, with_divergence=True, n_sites=N)
+    assert (np.asarray(got[0])[:N] == np.asarray(ref[0])).all()   # ybits
+    assert (np.asarray(got[1])[:N] == np.asarray(ref[1])).all()   # counts
+    assert (np.asarray(got[2]) == np.asarray(ref[2])).all()       # a_end
+    assert (np.asarray(got[3]) == np.asarray(ref[3])).all()       # d_end
+
+    got_nd = dbuild.build_scan_grouped(W, a0, with_divergence=False)
+    assert (np.asarray(got_nd[0])[:N] == np.asarray(ref[0])).all()
+    assert (np.asarray(got_nd[2]) == np.asarray(ref[2])).all()
+
+
 def test_padding_rows_stay_at_end():
     from pbwt_tpu.ops import build as dbuild
     import jax.numpy as jnp
