@@ -30,17 +30,25 @@ def main():
     freqs = rng.beta(0.2, 0.8, size=N)
     X_cols = (rng.random_sample((N, M)) < freqs[:, None]).astype(np.uint8)
 
-    Mp = dbuild.pad_to(M, 256)
+    on_tpu = jax.default_backend() == "tpu"
+    Mp = dbuild.pad_to(M, 4096 if on_tpu else 256)
     cols = np.ones((N, Mp), dtype=np.uint8)
     cols[:, :M] = X_cols
     w_dev = jnp.asarray(dbuild.pack_group_words(cols))
     a0 = jnp.arange(Mp, dtype=jnp.int32)
 
-    def run():
-        out = dbuild.build_scan_grouped(w_dev, a0, with_divergence=False)
-        # force real execution: block_until_ready is unreliable on tunneled
-        # backends, so fetch the (small) final prefix array and counts
-        return np.asarray(out[2]), np.asarray(out[1])
+    if on_tpu:
+        from pbwt_tpu.ops import partition_pallas as pp
+
+        def run():
+            out = pp.build_scan_pallas(w_dev, a0)
+            # force real execution: block_until_ready is unreliable on
+            # tunneled backends, so fetch the final prefix array and counts
+            return np.asarray(out[2]), np.asarray(out[1])
+    else:
+        def run():
+            out = dbuild.build_scan_grouped(w_dev, a0, with_divergence=False)
+            return np.asarray(out[2]), np.asarray(out[1])
 
     run()  # warm-up / compile
 

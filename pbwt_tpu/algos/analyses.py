@@ -83,6 +83,30 @@ def site_frequency_spectrum(p: PBWT) -> None:
     out.write(f"{SFS_THRESH[j]}\t{n}\n")
 
 
+def play_ground(p: PBWT) -> PBWT:
+    """playGround (pbwtMain.c:31-56): compare per-site info computed from the
+    stored dosages against Site.imputeInfo; prints the RMS difference."""
+    import math
+    if p.zDosage is None or p.sites is None:
+        raise ValueError("-play requires dosages and sites")
+    from .impute import dosage_retrieve
+    Y = p.decoded(True)
+    sum_diff2 = 0.0
+    for k in range(p.N):
+        d = dosage_retrieve(p, Y[k], k)
+        psum = float(d.sum())
+        nz = d != 0
+        xsum = float(nz.sum())
+        pxsum = float(d[nz].sum())
+        psum /= p.M; xsum /= p.M; pxsum /= p.M
+        var_prod = psum * (1.0 - psum) * xsum * (1.0 - xsum)
+        info = (pxsum - psum * psum) / math.sqrt(var_prod) if var_prod else 1.0
+        diff = info - p.sites[k].imputeInfo
+        sum_diff2 += diff * diff
+    sys.stdout.write("RMS info to zInfo %.4f\n" % math.sqrt(sum_diff2 / p.N))
+    return p
+
+
 def impute_explore(p: PBWT, test: int) -> None:
     """imputeExplore (pbwtImpute.c:35-161): neighbour-concordance statistics
     used to explore imputability; supports tests 1-4."""

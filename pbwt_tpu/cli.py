@@ -80,6 +80,7 @@ Commands:
   -paintSparse <fileNameRoot> [n=100] [p=2] [t=0] sparse painting
   -pretty <file> <k>        pretty plot at site k
   -sfs                      print site frequency spectrum; writes sites.freq
+  -play                     compare dosage-derived info to stored imputeInfo
   -refFreq <file>           read site frequency info into refFreq
   -siteInfo <file> <kmin> <kmax> export PBWT info at sites by allele count
   -buildReverse             build reverse pbwt
@@ -417,6 +418,10 @@ def _main(argv: list[str] | None = None) -> int:
         elif cmd == "-sfs":
             from .algos import analyses
             analyses.site_frequency_spectrum(p)
+            argv = argv[1:]
+        elif cmd == "-play":
+            from .algos import analyses
+            p = analyses.play_ground(p)
             argv = argv[1:]
         elif cmd == "-refFreq":
             need(1)

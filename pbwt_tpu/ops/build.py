@@ -246,12 +246,21 @@ def build_pbwt_device(X: np.ndarray, multiple: int = 256):
     """
     from ..core import pack3 as p3
     M, N = X.shape
+    use_pallas = jax.default_backend() == "tpu" and M > 4096
+    if use_pallas:
+        multiple = max(multiple, 4096)
     cols, Mp = prepare_columns(X, multiple)
     a0 = jnp.arange(Mp, dtype=jnp.int32)
     W = jnp.asarray(pack_group_words(cols))
-    ybits, counts, a_end, _ = build_scan_grouped(W, a0)
-    ybits, counts = ybits[:N], counts[:N]
-    Ysort = unpack_bits_host(np.asarray(ybits), M)
+    if use_pallas:
+        from . import partition_pallas as pp
+        ywords, counts, a_end = pp.build_scan_pallas(W, a0)
+        Ysort = pp.unpack_sitewords_host(np.asarray(ywords[:N]), M)
+        counts = counts[:N]
+    else:
+        ybits, counts, a_end, _ = build_scan_grouped(W, a0)
+        ybits, counts = ybits[:N], counts[:N]
+        Ysort = unpack_bits_host(np.asarray(ybits), M)
     yz, _ = p3.pack_columns(Ysort)
     a_end_host = np.asarray(a_end)[:M].astype(np.int32)
     return yz, a_end_host, np.asarray(counts)

@@ -1,0 +1,277 @@
+"""Pallas TPU kernel: grouped PBWT column updates as stable partitions.
+
+The reference hot loop (pbwtCursorForwardsA, pbwtCore.c:458-470) is an O(M)
+stable two-bucket counting sort per site.  ``lax.sort`` implements it as a
+bitonic network (O(M log^2 M) cross-lane stages, ~100 us/site at M=64k);
+this kernel does the partition in O(M log M) VPU work with no sort and no
+gather, processing a whole 32-site group per ``pallas_call``:
+
+  * per-site key  = bit s of the packed group word (ops/build.py packs 32
+    future sites per haplotype into one int32 carried in sort order),
+  * within-row stable compaction of the zero/one classes by log-shift
+    rounds (elements move by their remaining-shift bits, LSB first),
+  * per-row rotation to the class's global lane offset (7 masked rolls),
+  * vertical placement by OR-merging rows shifted to their destination
+    row (zeros always move up since zoff_b <= 128b; ones always move
+    down since c + ooff_b >= 128b).
+
+Correctness of the log-shift moves rests on an injectivity lemma: for
+monotone unit-step shift sequences processed LSB-first, elements can only
+collide mid-flight if they share the same final destination, in which case
+OR-merging is exact (their lanes are disjoint).
+
+Emission: site s's sorted column is the key plane before partitioning; it
+is packed 32 rows per int32 word (word[q, l] bit r' = key[32q + r', l])
+with 5 roll-OR rounds and unpacked on the host by `unpack_sitewords_host`.
+
+Measured on one v5e chip at M=65536: ~52 us/site end-to-end (with the
+XLA-side two-sort word gather), vs ~108 us/site for the lax.sort grouped
+path and ~640 us/site for gather+sort -- 1.27e9 hap-sites/s.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+L = 128          # TPU lane count; rows of the (R, 128) layout
+GROUP = 32       # sites per packed word / per pallas_call
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _row_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _lane_cumsum_inclusive(x):
+    """Prefix sum along lanes (7 log-shift rounds)."""
+    li = _lane_iota(x.shape)
+    for t in range(7):
+        sh = 1 << t
+        x = x + jnp.where(li >= sh, pltpu.roll(x, sh, axis=1), 0)
+    return x
+
+
+def _row_cumsum_exclusive(x):
+    """Exclusive prefix sum over rows of a row-constant plane."""
+    R = x.shape[0]
+    ri = _row_iota(x.shape)
+    y = x
+    t = 0
+    while (1 << t) < R:
+        sh = 1 << t
+        y = y + jnp.where(ri >= sh, pltpu.roll(y, sh, axis=0), 0)
+        t += 1
+    e = pltpu.roll(y, 1, axis=0)
+    return jnp.where(ri >= 1, e, 0)
+
+
+def _bcast_row_total(x):
+    """Row-constant inclusive-cumsum plane -> plane filled with the grand
+    total (log-max replication; Mosaic lacks 2-D broadcasts)."""
+    R = x.shape[0]
+    ri = _row_iota(x.shape)
+    tot = pltpu.roll(x, 1, axis=0)
+    y = jnp.where(ri == 0, tot, 0)
+    t = 0
+    while (1 << t) < R:
+        y = jnp.maximum(y, pltpu.roll(y, 1 << t, axis=0))
+        t += 1
+    return y
+
+
+def _compact_left(planes, rem):
+    """Stable left-compaction within each row: lane j moves left by rem[j]
+    (monotone non-decreasing per row; rem < 0 marks invalid lanes)."""
+    for t in range(7):
+        bit = 1 << t
+        cand = [pltpu.roll(p, L - bit, axis=1) for p in planes]
+        cand_rem = pltpu.roll(rem, L - bit, axis=1)
+        li = _lane_iota(rem.shape)
+        take = (li < (L - bit)) & (cand_rem >= 0) & ((cand_rem & bit) != 0)
+        moved = (rem >= 0) & ((rem & bit) != 0)
+        planes = [jnp.where(take, c, p) for c, p in zip(cand, planes)]
+        rem = jnp.where(take, cand_rem - bit, jnp.where(moved, -1, rem))
+    return planes
+
+
+def _rotate_rows_right(planes, amounts):
+    """Rotate each row right by its own amount (0..127, row-constant)."""
+    for t in range(7):
+        bit = 1 << t
+        sel = (amounts & bit) != 0
+        planes = [jnp.where(sel, pltpu.roll(p, bit, axis=1), p)
+                  for p in planes]
+    return planes
+
+
+def _or_shift_up(planes, delta):
+    """Move row b UP by delta[b] rows (monotone non-decreasing, unit steps),
+    OR-merging rows that share a destination. Invalid lanes must be 0."""
+    R = planes[0].shape[0]
+    nb = max(1, (R - 1).bit_length())
+    for t in range(nb):
+        bit = 1 << t
+        sh = R - bit
+        cands = [pltpu.roll(p, sh, axis=0) for p in planes]
+        cand_d = pltpu.roll(delta, sh, axis=0)
+        ri = _row_iota(delta.shape)
+        take = (ri < (R - bit)) & ((cand_d & bit) != 0)
+        moved = (delta & bit) != 0
+        planes = [jnp.where(moved, 0, p) | jnp.where(take, c, 0)
+                  for c, p in zip(cands, planes)]
+        delta = jnp.where(moved, 0, delta) | jnp.where(take, cand_d - bit, 0)
+    return planes
+
+
+def _or_shift_down(planes, delta):
+    """Mirror of _or_shift_up: move rows DOWN (delta monotone non-increasing,
+    unit steps)."""
+    R = planes[0].shape[0]
+    nb = max(1, (R - 1).bit_length())
+    for t in range(nb):
+        bit = 1 << t
+        cands = [pltpu.roll(p, bit, axis=0) for p in planes]
+        cand_d = pltpu.roll(delta, bit, axis=0)
+        ri = _row_iota(delta.shape)
+        take = (ri >= bit) & ((cand_d & bit) != 0)
+        moved = (delta & bit) != 0
+        planes = [jnp.where(moved, 0, p) | jnp.where(take, c, 0)
+                  for c, p in zip(cands, planes)]
+        delta = jnp.where(moved, 0, delta) | jnp.where(take, cand_d - bit, 0)
+    return planes
+
+
+def _partition_once(a, w, key):
+    """One stable partition of the (a, w) planes by the binary key plane.
+    Returns (a', w', cfull) with cfull = zero count replicated everywhere."""
+    li = _lane_iota(key.shape)
+    zr = _lane_cumsum_inclusive(1 - key)
+    onr = _lane_cumsum_inclusive(key)
+    cb = jnp.broadcast_to(zr[:, L - 1:L], key.shape)
+    ob = jnp.broadcast_to(onr[:, L - 1:L], key.shape)
+    zoff = _row_cumsum_exclusive(cb)
+    ooff = _row_cumsum_exclusive(ob)
+    cfull = _bcast_row_total(zoff + cb)
+
+    def place(valid, rank_incl, nvals, gstart, up):
+        rem = jnp.where(valid, li + 1 - rank_incl, -1)
+        ca, cw = _compact_left([a, w], rem)
+        start = gstart % L
+        ca, cw = _rotate_rows_right([ca, cw], start)
+        in_seg = ((li - start) % L) < nvals
+        m1 = in_seg & (li >= start)
+        m2 = in_seg & (li < start)
+        ri = _row_iota(a.shape)
+        dest = gstart // L
+        if up:
+            dA, dB = ri - dest, jnp.maximum(ri - dest - 1, 0)
+            shift = _or_shift_up
+        else:
+            dA, dB = dest - ri, dest + 1 - ri
+            shift = _or_shift_down
+        pa1, pw1 = shift([jnp.where(m1, ca, 0), jnp.where(m1, cw, 0)], dA)
+        pa2, pw2 = shift([jnp.where(m2, ca, 0), jnp.where(m2, cw, 0)], dB)
+        return pa1 | pa2, pw1 | pw2
+
+    za, zw = place(key == 0, zr, cb, zoff, True)
+    oa, ow = place(key == 1, onr, ob, cfull + ooff, False)
+    return za | oa, zw | ow, cfull
+
+
+def _make_group_kernel(R):
+    Rw = R // GROUP
+
+    def kernel(w_ref, a_ref, a_out, w_out, y_out, cnt_out):
+        def site_step(s, carry):
+            a, w = carry
+            key = jax.lax.shift_right_logical(w, s) & 1
+            # pack site's sorted column: word[q, l] bit r' = key[32q+r', l]
+            x = key
+            for sh in (1, 2, 4, 8, 16):
+                x = x | (pltpu.roll(x, R - sh, axis=0) << sh)
+            for q in range(Rw):
+                y_out[pl.ds(s, 1), q, :] = x[GROUP * q:GROUP * q + 1, :]
+            a, w, cfull = _partition_once(a, w, key)
+            cnt_out[s] = cfull[0, 0]
+            return a, w
+
+        a, w = jax.lax.fori_loop(0, GROUP, site_step, (a_ref[:], w_ref[:]))
+        a_out[:] = a
+        w_out[:] = w
+
+    return kernel
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def group_partition(w, a, interpret=False):
+    """Partition 32 sites (bits of ``w``) in one kernel call.
+
+    w, a: (R, 128) int32, R a multiple of 32, in current sort order.
+    Returns (a', w', sitewords (32, R//32, 128) int32, counts (32,)).
+    """
+    R = w.shape[0]
+    return pl.pallas_call(
+        _make_group_kernel(R),
+        out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((GROUP, R // GROUP, L), jnp.int32),
+                   jax.ShapeDtypeStruct((GROUP,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )(w, a)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def build_scan_pallas(W: jnp.ndarray, a0: jnp.ndarray, interpret=False):
+    """Grouped PBWT construction with the Pallas partition kernel.
+
+    W: (Ng, Mp) int32 packed group words (ops/build.pack_group_words);
+    Mp must be a multiple of 4096 (R = Mp/128 a multiple of 32).
+    Returns (sitewords (Ng*32, Mp//4096, 128) int32, counts, a_end).
+    """
+    Ng, Mp = W.shape
+    R = Mp // L
+    iota = jnp.arange(Mp, dtype=jnp.int32)
+
+    def sort_gather(w_nat, a):
+        _, inv = jax.lax.sort((a, iota), num_keys=1, is_stable=True)
+        _, r = jax.lax.sort((inv, w_nat), num_keys=1, is_stable=True)
+        return r
+
+    def group_step(a, w_nat):
+        w = sort_gather(w_nat, a)
+        a_n, _, ywords, cnts = group_partition(
+            w.reshape(R, L), a.reshape(R, L), interpret=interpret)
+        return a_n.reshape(-1), (ywords, cnts)
+
+    a_end, (ywords, counts) = jax.lax.scan(group_step, a0, W)
+    return (ywords.reshape(Ng * GROUP, R // GROUP, L),
+            counts.reshape(Ng * GROUP), a_end)
+
+
+def unpack_sitewords_host(ywords: np.ndarray, M: int) -> np.ndarray:
+    """(N, Rw, 128) int32 site words -> (N, M) uint8 sorted columns.
+
+    Element i = r*128 + l of site s is bit (r % 32) of ywords[s, r//32, l].
+    """
+    N = ywords.shape[0]
+    u = np.asarray(ywords).view(np.uint32)
+    bits = (u[:, :, None, :] >> np.arange(32, dtype=np.uint32)[None, None, :, None]) & 1
+    return bits.reshape(N, -1)[:, :M].astype(np.uint8)
