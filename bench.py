@@ -23,8 +23,10 @@ def main():
 
     from pbwt_tpu.ops import build as dbuild
 
+    # N large enough that the fixed per-invocation dispatch latency
+    # (~60 ms through a tunneled backend) is amortized to <5% of runtime
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16   # 65536 haplotypes
-    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 11   # 2048 sites
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 14   # 16384 sites
     rng = np.random.RandomState(0)
     # allele frequencies drawn per site for realistic run-length structure
     freqs = rng.beta(0.2, 0.8, size=N)

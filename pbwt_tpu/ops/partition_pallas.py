@@ -150,17 +150,46 @@ def _or_shift_down(planes, delta):
     return planes
 
 
-def _partition_once(a, w, key):
+def _rank_consts(R):
+    """Constant matrices for the MXU rank computation (hoisted per group).
+    All counts fit exactly in f32 (values <= M < 2^24)."""
+    lt_lanes = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0) <=
+                jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+                ).astype(jnp.float32)
+    lstrict = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) <
+               jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+               ).astype(jnp.float32)
+    ones_rr = jnp.ones((R, R), jnp.float32)
+    return lt_lanes, lstrict, ones_rr
+
+
+def _partition_once(a, w, key, consts):
     """One stable partition of the (a, w) planes by the binary key plane.
-    Returns (a', w', cfull) with cfull = zero count replicated everywhere."""
+    Returns (a', w', cfull) with cfull = zero count replicated everywhere.
+
+    Ranks and prefix offsets ride the MXU: inclusive lane rank = key @
+    upper-triangular ones, row offsets = strict-lower-triangular @ row
+    sums, grand total = ones @ row sums."""
+    lt_lanes, lstrict, ones_rr = consts
     li = _lane_iota(key.shape)
-    zr = _lane_cumsum_inclusive(1 - key)
-    onr = _lane_cumsum_inclusive(key)
-    cb = jnp.broadcast_to(zr[:, L - 1:L], key.shape)
-    ob = jnp.broadcast_to(onr[:, L - 1:L], key.shape)
-    zoff = _row_cumsum_exclusive(cb)
-    ooff = _row_cumsum_exclusive(ob)
-    cfull = _bcast_row_total(zoff + cb)
+    ri = _row_iota(key.shape)
+    kf = key.astype(jnp.float32)
+    onr_f = jax.lax.dot_general(kf, lt_lanes, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    onr = onr_f.astype(jnp.int32)                 # inclusive one rank
+    zr = (li + 1) - onr                           # inclusive zero rank
+    cb_col = 128.0 - onr_f[:, L - 1:L]            # (R,1) zeros per row
+    ob_col = onr_f[:, L - 1:L]
+    rhs = jnp.concatenate([cb_col, ob_col], axis=1)
+    offs = jax.lax.dot_general(lstrict, rhs, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    tot = jax.lax.dot_general(ones_rr, cb_col, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    zoff = jnp.broadcast_to(offs[:, 0:1], key.shape).astype(jnp.int32)
+    ooff = jnp.broadcast_to(offs[:, 1:2], key.shape).astype(jnp.int32)
+    cfull = jnp.broadcast_to(tot, key.shape).astype(jnp.int32)
+    cb = jnp.broadcast_to(cb_col, key.shape).astype(jnp.int32)
+    ob = jnp.broadcast_to(ob_col, key.shape).astype(jnp.int32)
 
     def place(valid, rank_incl, nvals, gstart, up):
         rem = jnp.where(valid, li + 1 - rank_incl, -1)
@@ -170,17 +199,31 @@ def _partition_once(a, w, key):
         in_seg = ((li - start) % L) < nvals
         m1 = in_seg & (li >= start)
         m2 = in_seg & (li < start)
-        ri = _row_iota(a.shape)
         dest = gstart // L
         if up:
-            dA, dB = ri - dest, jnp.maximum(ri - dest - 1, 0)
-            shift = _or_shift_up
-        else:
-            dA, dB = dest - ri, dest + 1 - ri
-            shift = _or_shift_down
-        pa1, pw1 = shift([jnp.where(m1, ca, 0), jnp.where(m1, cw, 0)], dA)
-        pa2, pw2 = shift([jnp.where(m2, ca, 0), jnp.where(m2, cw, 0)], dB)
-        return pa1 | pa2, pw1 | pw2
+            # zeros: m2(R-1) can be nonempty (the zero region may end with a
+            # wrapped segment below the last row boundary), so the wrapped
+            # part keeps its own shift pass.
+            dA = ri - dest
+            dB = jnp.maximum(ri - dest - 1, 0)
+            pa1, pw1 = _or_shift_up(
+                [jnp.where(m1, ca, 0), jnp.where(m1, cw, 0)], dA)
+            pa2, pw2 = _or_shift_up(
+                [jnp.where(m2, ca, 0), jnp.where(m2, cw, 0)], dB)
+            return pa1 | pa2, pw1 | pw2
+        # ones: m2(R-1) is provably empty (the last row's one segment starts
+        # at gstart >= 128(R-1) and ends at M, so it never wraps) and a
+        # nonempty m2(b) forces dest_{b+1} = dest_b + 1 with complementary
+        # lanes, so the wrapped part folds one row down into the m1 plane
+        # and both ride a single shift pass.
+        va = jnp.where(m1, ca, 0)
+        vw = jnp.where(m1, cw, 0)
+        va2 = jnp.where(m2, ca, 0)
+        vw2 = jnp.where(m2, cw, 0)
+        va = va | jnp.where(ri >= 1, pltpu.roll(va2, 1, axis=0), 0)
+        vw = vw | jnp.where(ri >= 1, pltpu.roll(vw2, 1, axis=0), 0)
+        pa, pw = _or_shift_down([va, vw], dest - ri)
+        return pa, pw
 
     za, zw = place(key == 0, zr, cb, zoff, True)
     oa, ow = place(key == 1, onr, ob, cfull + ooff, False)
@@ -191,6 +234,8 @@ def _make_group_kernel(R):
     Rw = R // GROUP
 
     def kernel(w_ref, a_ref, a_out, w_out, y_out, cnt_out):
+        consts = _rank_consts(R)
+
         def site_step(s, carry):
             a, w = carry
             key = jax.lax.shift_right_logical(w, s) & 1
@@ -200,7 +245,7 @@ def _make_group_kernel(R):
                 x = x | (pltpu.roll(x, R - sh, axis=0) << sh)
             for q in range(Rw):
                 y_out[pl.ds(s, 1), q, :] = x[GROUP * q:GROUP * q + 1, :]
-            a, w, cfull = _partition_once(a, w, key)
+            a, w, cfull = _partition_once(a, w, key, consts)
             cnt_out[s] = cfull[0, 0]
             return a, w
 
