@@ -163,6 +163,53 @@ EXPORT void transpose_u8(const uint8_t *src, long R, long C, uint8_t *dst)
     }
 }
 
+/* expand device-emitted match records into (q, hap, start, end) rows.
+   Ysort is the (N, M) sorted-column stream from the device matcher; the
+   prefix array is replayed with the stable partition only (no gather).
+   rec_off[k]..rec_off[k+1] index the records reported at site k (k = N is
+   the final flush); each record contributes rows for panel positions
+   [f, g).  Returns the number of rows written (caller pre-sizes out). */
+EXPORT long expand_records(const uint8_t *Ybits, long stride, long M, long N,
+                           const int64_t *rec_off,
+                           const int32_t *rec_q, const int32_t *rec_e,
+                           const int32_t *rec_f, const int32_t *rec_g,
+                           int32_t *out, long cap)
+{
+    int32_t *a = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    long nrows = 0;
+    for (long i = 0; i < M; ++i) a[i] = (int32_t)i;
+    for (long k = 0; k <= N; ++k) {
+        for (long r = rec_off[k]; r < rec_off[k + 1]; ++r) {
+            for (long i = rec_f[r]; i < rec_g[r]; ++i) {
+                if (nrows < cap) {
+                    int32_t *row = out + 4 * nrows;
+                    row[0] = rec_q[r]; row[1] = a[i];
+                    row[2] = rec_e[r]; row[3] = (int32_t)k;
+                }
+                ++nrows;
+            }
+        }
+        if (k < N) {
+            /* stable partition of a by the bit-packed sorted column
+               (bit 7 first within each byte, numpy packbits order) */
+            const uint8_t *yb = Ybits + k * stride;
+            long u = 0, v = 0, i = 0;
+            for (long B = 0; B < stride && i < M; ++B) {
+                uint8_t byte = yb[B];
+                long hi = M - i < 8 ? M - i : 8;
+                for (long t = 0; t < hi; ++t, ++i) {
+                    if (byte & (0x80u >> t)) ones[v++] = a[i];
+                    else a[u++] = a[i];
+                }
+            }
+            memcpy(a + u, ones, v * sizeof(int32_t));
+        }
+    }
+    free(a); free(ones);
+    return nrows;
+}
+
 /* ------------------------------------------------------------------ */
 /* matching                                                            */
 /* ------------------------------------------------------------------ */

@@ -75,6 +75,9 @@ def get_lib():
     lib.sweep_match.argtypes = [u8p, L, u8p, L, L, i32p, i32p, i64p, L]
     lib.transpose_u8.restype = None
     lib.transpose_u8.argtypes = [u8p, L, L, u8p]
+    lib.expand_records.restype = L
+    lib.expand_records.argtypes = [u8p, L, L, L, i64p, i32p, i32p, i32p,
+                                   i32p, i32p, L]
     _lib = lib
     return _lib
 

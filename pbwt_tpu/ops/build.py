@@ -148,13 +148,26 @@ def pack_group_words(X_cols: np.ndarray) -> np.ndarray:
     """
     N, Mp = X_cols.shape
     Ng = (N + GROUP - 1) // GROUP
-    padded = np.ones((Ng * GROUP, Mp), dtype=np.uint8)
-    padded[:N] = X_cols
-    W = np.zeros((Ng, Mp), dtype=np.uint32)
-    blocks = padded.reshape(Ng, GROUP, Mp).astype(np.uint32)
-    for s in range(GROUP):
-        W |= blocks[:, s, :] << np.uint32(s)
-    return W.astype(np.int32)
+    full = (N // GROUP) * GROUP
+    parts = []
+    if full:
+        # little-endian bit pack along the site axis: byte j of the group
+        # word = sites 8j..8j+7, so the (.., 4, Mp) byte planes laid out
+        # (.., Mp, 4) view directly as little-endian int32 words with site
+        # 32t+s at bit s
+        b = np.packbits(X_cols[:full].reshape(full // GROUP, GROUP, Mp),
+                        axis=1, bitorder="little")
+        parts.append(np.ascontiguousarray(b.transpose(0, 2, 1))
+                     .view(np.int32).reshape(full // GROUP, Mp))
+    if N > full:
+        tail = np.ones((1, GROUP, Mp), dtype=np.uint8)
+        tail[0, :N - full] = X_cols[full:]
+        b = np.packbits(tail, axis=1, bitorder="little")
+        parts.append(np.ascontiguousarray(b.transpose(0, 2, 1))
+                     .view(np.int32).reshape(1, Mp))
+    if not parts:
+        return np.zeros((0, Mp), dtype=np.int32)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
 def _sort_gather(w_nat: jnp.ndarray, a: jnp.ndarray, iota: jnp.ndarray):
