@@ -210,6 +210,83 @@ EXPORT long expand_records(const uint8_t *Ybits, long stride, long M, long N,
     return nrows;
 }
 
+/* threaded variant: replay chunks of sites in parallel from device
+   prefix-array snapshots, reading allele bits straight from the
+   natural-order bit-packed panel rows (no sorted-column stream, no
+   transpose). Padded duplicate rows (id >= M) read row id % M's bits
+   (duplicates are copies of row 0 => id-M maps to 0) and are emitted
+   like any other id; the caller filters them. */
+#include <pthread.h>
+
+typedef struct {
+    const uint8_t *ybits; long stride, Mp, N;
+    long k0, k1;
+    const int32_t *snap;
+    const int64_t *rec_off;
+    const int32_t *rec_q, *rec_e, *rec_f, *rec_g;
+    int32_t *out; long out_start;
+} ExpandChunk;
+
+static void *expand_chunk(void *argp)
+{
+    ExpandChunk *c = (ExpandChunk *)argp;
+    long Mp = c->Mp;
+    int32_t *a = (int32_t *)malloc(Mp * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(Mp * sizeof(int32_t));
+    memcpy(a, c->snap, Mp * sizeof(int32_t));
+    long nrows = c->out_start;
+    for (long k = c->k0; k < c->k1; ++k) {
+        for (long r = c->rec_off[k]; r < c->rec_off[k + 1]; ++r) {
+            for (long i = c->rec_f[r]; i < c->rec_g[r]; ++i) {
+                int32_t *row = c->out + 4 * nrows++;
+                row[0] = c->rec_q[r]; row[1] = a[i];
+                row[2] = c->rec_e[r]; row[3] = (int32_t)k;
+            }
+        }
+        if (k < c->N) {
+            /* stable partition by the bit-packed sorted column */
+            const uint8_t *yb = c->ybits + k * c->stride;
+            long u = 0, v = 0, i = 0;
+            for (long B = 0; i < Mp; ++B) {
+                uint8_t byte = yb[B];
+                long hi = Mp - i < 8 ? Mp - i : 8;
+                for (long t = 0; t < hi; ++t, ++i) {
+                    if (byte & (0x80u >> t)) ones[v++] = a[i];
+                    else a[u++] = a[i];
+                }
+            }
+            memcpy(a + u, ones, v * sizeof(int32_t));
+        }
+    }
+    free(a); free(ones);
+    return NULL;
+}
+
+EXPORT long expand_records_mt(const uint8_t *ybits, long stride,
+                              long Mp, long N, long nchunks,
+                              const int64_t *chunk_k0,   /* (nchunks+1,) */
+                              const int32_t *snaps,      /* (nchunks, Mp) */
+                              const int64_t *rec_off,    /* (N+2,) */
+                              const int32_t *rec_q, const int32_t *rec_e,
+                              const int32_t *rec_f, const int32_t *rec_g,
+                              const int64_t *row_start,  /* (nchunks,) */
+                              int32_t *out)
+{
+    pthread_t tid[64];
+    ExpandChunk args[64];
+    if (nchunks > 64) nchunks = 64;
+    for (long c = 0; c < nchunks; ++c) {
+        args[c] = (ExpandChunk){ybits, stride, Mp, N,
+                                chunk_k0[c], chunk_k0[c + 1],
+                                snaps + c * Mp, rec_off,
+                                rec_q, rec_e, rec_f, rec_g,
+                                out, row_start[c]};
+        pthread_create(&tid[c], NULL, expand_chunk, &args[c]);
+    }
+    for (long c = 0; c < nchunks; ++c) pthread_join(tid[c], NULL);
+    return 0;
+}
+
 /* ------------------------------------------------------------------ */
 /* matching                                                            */
 /* ------------------------------------------------------------------ */

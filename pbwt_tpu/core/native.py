@@ -26,7 +26,7 @@ _tried = False
 
 def _compile() -> bool:
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC",
+    cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
            "-o", _SO, _SRC]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -78,6 +78,9 @@ def get_lib():
     lib.expand_records.restype = L
     lib.expand_records.argtypes = [u8p, L, L, L, i64p, i32p, i32p, i32p,
                                    i32p, i32p, L]
+    lib.expand_records_mt.restype = L
+    lib.expand_records_mt.argtypes = [u8p, L, L, L, L, i64p, i32p, i64p,
+                                      i32p, i32p, i32p, i32p, i64p, i32p]
     _lib = lib
     return _lib
 

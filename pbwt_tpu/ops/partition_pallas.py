@@ -256,6 +256,152 @@ def _make_group_kernel(R):
     return kernel
 
 
+def _seg_running_max(vals, resets):
+    """Inclusive running max over the row-major linear order that restarts
+    at each position where ``resets`` is True (segment = [reset, next)).
+    Two-level: within-row log-shift segmented scan, then a row-level
+    segmented combine carried in."""
+    R = vals.shape[0]
+    li = _lane_iota(vals.shape)
+    ri = _row_iota(vals.shape)
+    V, F = vals, resets.astype(jnp.int32)   # flags as i32 (Mosaic rolls)
+    for t in range(7):
+        sh = 1 << t
+        Vs = pltpu.roll(V, sh, axis=1)
+        Fs = pltpu.roll(F, sh, axis=1)
+        ok = li >= sh
+        V = jnp.where(ok & (F == 0), jnp.maximum(V, Vs), V)
+        F = F | jnp.where(ok, Fs, 0)
+    # row summaries (broadcast along lanes): end-of-row value and any-reset
+    Vin = jnp.broadcast_to(V[:, L - 1:L], V.shape)
+    Fin = jnp.broadcast_to(F[:, L - 1:L], F.shape)
+    # exclusive row-level segmented scan of (Vend, Fany)
+    t = 0
+    while (1 << t) < R:
+        sh = 1 << t
+        Vs = pltpu.roll(Vin, sh, axis=0)
+        Fs = pltpu.roll(Fin, sh, axis=0)
+        ok = ri >= sh
+        Vin = jnp.where(ok & (Fin == 0), jnp.maximum(Vin, Vs), Vin)
+        Fin = Fin | jnp.where(ok, Fs, 0)
+        t += 1
+    Vin = pltpu.roll(Vin, 1, axis=0)   # exclusive: carry from previous rows
+    Vin = jnp.where(ri >= 1, Vin, jnp.zeros_like(Vin))
+    return jnp.where(F != 0, V, jnp.maximum(V, Vin))
+
+
+def _make_ad_kernel(R):
+    """Per-site kernel for cursors that need the divergence array:
+    one stable partition of (a, d, w) by bit s of w, plus the reference's
+    divergence update (pbwtCursorForwardsAD, pbwtCore.c:485-508) and the
+    global exclusive zero-rank table for FM-style rank lookups."""
+
+    def kernel(a_ref, d_ref, w_ref, s_ref, a_out, d_out, w_out, u_out,
+               cnt_out):
+        lt_lanes = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0) <=
+                    jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+                    ).astype(jnp.float32)
+        a, d, w = a_ref[:], d_ref[:], w_ref[:]
+        s = s_ref[0]
+        kk = s_ref[1]
+        key = jax.lax.shift_right_logical(w, s) & 1
+        li = _lane_iota(key.shape)
+        ri = _row_iota(key.shape)
+        # divergence payload: p/q segmented maxima seeded with k+1 at pos 0
+        seed = jnp.where((ri == 0) & (li == 0), jnp.maximum(d, kk + 1), d)
+        prev0 = pltpu.roll(1 - key, 1, axis=1)
+        prev0 = jnp.where(li == 0, pltpu.roll(prev0, 1, axis=0), prev0)
+        prev0 = jnp.where((ri == 0) & (li == 0), 0, prev0)
+        prev1 = pltpu.roll(key, 1, axis=1)
+        prev1 = jnp.where(li == 0, pltpu.roll(prev1, 1, axis=0), prev1)
+        prev1 = jnp.where((ri == 0) & (li == 0), 0, prev1)
+        p = _seg_running_max(seed, prev0)
+        q = _seg_running_max(seed, prev1)
+        pq = jnp.where(key == 0, p, q)
+
+        # (R,R) matmul row scans would need O(R^2) VMEM; at matcher sizes
+        # (R up to ~1k) log-shift scans on row-constant planes fit easily
+        kf = key.astype(jnp.float32)
+        onr_f = jax.lax.dot_general(kf, lt_lanes, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        onr = onr_f.astype(jnp.int32)
+        zr = (li + 1) - onr
+        cb = jnp.broadcast_to(128 - onr[:, L - 1:L], key.shape)
+        ob = jnp.broadcast_to(onr[:, L - 1:L], key.shape)
+        zoff = _row_cumsum_exclusive(cb)
+        ooff = _row_cumsum_exclusive(ob)
+        cfull = _bcast_row_total(zoff + cb)
+        cnt_out[0] = cfull[0, 0]
+        # global exclusive zero rank (the FM rank table u[])
+        u_out[:] = zoff + zr - (1 - key)
+
+        def place(valid, rank_incl, nvals, gstart, up):
+            rem = jnp.where(valid, li + 1 - rank_incl, -1)
+            ca, cd, cw = _compact_left([a, pq, w], rem)
+            start = gstart % L
+            ca, cd, cw = _rotate_rows_right([ca, cd, cw], start)
+            in_seg = ((li - start) % L) < nvals
+            m1 = in_seg & (li >= start)
+            m2 = in_seg & (li < start)
+            dest = gstart // L
+            if up:
+                dA = ri - dest
+                dB = jnp.maximum(ri - dest - 1, 0)
+                o1 = _or_shift_up([jnp.where(m1, ca, 0), jnp.where(m1, cd, 0),
+                                   jnp.where(m1, cw, 0)], dA)
+                o2 = _or_shift_up([jnp.where(m2, ca, 0), jnp.where(m2, cd, 0),
+                                   jnp.where(m2, cw, 0)], dB)
+                return [x | y for x, y in zip(o1, o2)]
+            va = jnp.where(m1, ca, 0)
+            vd = jnp.where(m1, cd, 0)
+            vw = jnp.where(m1, cw, 0)
+            va2, vd2, vw2 = (jnp.where(m2, x, 0) for x in (ca, cd, cw))
+            va = va | jnp.where(ri >= 1, pltpu.roll(va2, 1, axis=0), 0)
+            vd = vd | jnp.where(ri >= 1, pltpu.roll(vd2, 1, axis=0), 0)
+            vw = vw | jnp.where(ri >= 1, pltpu.roll(vw2, 1, axis=0), 0)
+            return _or_shift_down([va, vd, vw], dest - ri)
+
+        za, zd, zw = place(key == 0, zr, cb, zoff, True)
+        oa, od, ow = place(key == 1, onr, ob, cfull + ooff, False)
+        d_new = zd | od
+        d_new = jnp.where((ri == 0) & (li == 0), kk + 2, d_new)
+        a_out[:] = za | oa
+        d_out[:] = d_new
+        w_out[:] = zw | ow
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def partition_ad_step(a, d, w, s, kk, interpret=False):
+    """One divergence-carrying partition step on (R, 128) planes.
+
+    a, d, w: (R, 128) int32 in current sort order (R a multiple of 32);
+    s: bit index of the site within w; kk: global site index.
+    Returns (a', d', w', u (R, 128) global exclusive zero ranks, count).
+    """
+    R = a.shape[0]
+    sk = jnp.stack([jnp.asarray(s, jnp.int32), jnp.asarray(kk, jnp.int32)])
+    return pl.pallas_call(
+        _make_ad_kernel(R),
+        out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(a, d, w, sk)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
