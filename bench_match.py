@@ -1,0 +1,50 @@
+"""Secondary benchmark: query-vs-panel set-maximal matching throughput.
+
+Measures the matchDynamic-equivalent device path (SURVEY.md section 6's
+"queries/s for matchDynamic at 100k haplotypes" metric) end-to-end and
+device-scan-only. Prints one JSON line per measurement.
+
+Usage: python bench_match.py [M] [N] [Q]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    M = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    Q = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+    rng = np.random.RandomState(0)
+    freqs = rng.beta(0.2, 0.8, size=N)
+    Xp = (rng.random_sample((M, N)) < freqs[None, :]).astype(np.uint8)
+    # queries are panel-row mosaics so realistic maximal matches exist
+    Xq = np.empty((Q, N), np.uint8)
+    for q in range(Q):
+        pos = 0
+        while pos < N:
+            seg = rng.randint(50, 400)
+            src = rng.randint(0, M)
+            Xq[q, pos:pos + seg] = Xp[src, pos:pos + seg]
+            pos += seg
+
+    from pbwt_tpu.ops import match_jax
+
+    rows = match_jax.match_queries_device(Xp, Xq)     # warm-up / compile
+    t0 = time.perf_counter()
+    rows = match_jax.match_queries_device(Xp, Xq)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "match_queries_per_s_end_to_end",
+        "value": round(Q / dt, 2), "unit": "queries/s",
+        "M": M, "N": N, "Q": Q, "rows": len(rows),
+        "seconds": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
