@@ -90,6 +90,27 @@ def get_lib():
 # --------------------------------------------------------------------------
 
 _transpose_pool: dict[tuple, np.ndarray] = {}
+_buffer_pool: dict[str, np.ndarray] = {}
+
+
+def pooled(nbytes: int, tag: str) -> np.ndarray:
+    """Process-lifetime scratch buffer of >= nbytes uint8, keyed by tag.
+
+    Sandboxed containers fault fresh pages in at ~15-80 MB/s, an order of
+    magnitude slower than the compute that fills them; reusing one buffer
+    per call-site keeps large temporaries warm. Callers must not hold the
+    result across calls with the same tag."""
+    buf = _buffer_pool.get(tag)
+    if buf is None or buf.nbytes < nbytes:
+        buf = np.empty(nbytes, np.uint8)
+        buf.fill(0)                      # fault pages in once
+        _buffer_pool[tag] = buf
+    return buf
+
+
+def pooled_view(shape, dtype, tag: str) -> np.ndarray:
+    n = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    return pooled(n, tag)[:n].view(dtype).reshape(shape)
 
 
 def transpose_u8(X: np.ndarray):
@@ -136,6 +157,9 @@ def decode_cols(yz: bytes, ncols: int, M: int):
     if lib is None:
         return None
     buf = np.frombuffer(bytes(yz), np.uint8)
+    # decoded() caches the result on the PBWT, so this buffer must be owned
+    # by the caller: pool only the page-fault cost via a warm template when
+    # the same shape repeats (pooled buffers themselves can't be handed out)
     Y = np.empty((ncols, M), np.uint8)
     used = lib.p3_decode_cols(buf, len(buf), ncols, M, Y.reshape(-1))
     if used < 0:

@@ -445,7 +445,8 @@ def _match_queries_tpu(Xp: np.ndarray, Xq: np.ndarray):
     xq_bits = bitpack_rows(Xq)
     # pad rows with duplicates of row 0; pad site bytes with zeros
     nb = 4 * Ng
-    xp_pad = np.zeros((Mp, nb), np.uint8)
+    xp_pad = native.pooled_view((Mp, nb), np.uint8, "match:xp_pad")
+    xp_pad[:] = 0
     xp_pad[:M, :xp_bits.shape[1]] = xp_bits
     xp_pad[M:] = xp_pad[0]
     xp_words = pack_row_words(xp_pad[:, :((N + 31) // 32) * 4])
@@ -494,7 +495,7 @@ def _match_queries_tpu(Xp: np.ndarray, Xq: np.ndarray):
     total = int(wcum[-1])
 
     ybits_h = np.ascontiguousarray(np.asarray(ybits)[:N])
-    out = np.empty((max(total, 1), 4), dtype=np.int32)
+    out = native.pooled_view((max(total, 1), 4), np.int32, "match:out")
     lib.expand_records_mt(ybits_h.reshape(-1), ybits_h.shape[1], Mp, N,
                           nchunks, chunk_k0.astype(np.int64),
                           snaps_h.reshape(-1), rec_off,
