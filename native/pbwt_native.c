@@ -210,6 +210,31 @@ EXPORT long expand_records(const uint8_t *Ybits, long stride, long M, long N,
     return nrows;
 }
 
+/* EXTEND4 reference-phasing helpers (pbwtImpute.c:848-901): segmented
+   running maxima of the divergence array that stop at the nearest
+   position with allele x (the values pbwtCursorMapDplus/Dminus would
+   accumulate). -1 marks "no accumulation". */
+EXPORT void phase_stop_max(const int32_t *d, const uint8_t *y, int x, long M,
+                           int64_t *bp, int64_t *bm)
+{
+    bp[M] = -1;
+    for (long i = M - 1; i >= 0; --i) {
+        if (y[i] != x) {
+            int64_t prev = bp[i + 1];
+            int64_t di = d[i];
+            bp[i] = (prev >= 0 && prev > di) ? prev : di;
+        } else bp[i] = -1;
+    }
+    bm[0] = -1;
+    for (long i = 1; i <= M; ++i) {
+        if (y[i - 1] != x) {
+            int64_t prev = bm[i - 1];
+            int64_t di = d[i - 1];
+            bm[i] = (prev >= 0 && prev > di) ? prev : di;
+        } else bm[i] = -1;
+    }
+}
+
 /* threaded variant: replay chunks of sites in parallel from device
    prefix-array snapshots, reading allele bits straight from the
    natural-order bit-packed panel rows (no sorted-column stream, no

@@ -8,7 +8,8 @@ import math
 
 import numpy as np
 
-from ..core import engine, registry
+from ..core import engine
+from ..core import native, registry
 from ..core.pbwt import PBWT
 from ..utils import log, time_update
 
@@ -295,111 +296,124 @@ def reference_phase4(p_old: PBWT, p_ref: PBWT) -> PBWT:
         y = uref.y
         u, c = uref.u, uref.c
         d = uref.d
-        bp = [_suffix_stop_max(d, y, 0, M), _suffix_stop_max(d, y, 1, M)]
-        bm = [_prefix_stop_max(d, y, 0, M), _prefix_stop_max(d, y, 1, M)]
+        lib = native.get_lib()
+        if lib is not None:
+            d32 = np.ascontiguousarray(d, np.int32)
+            yc = np.ascontiguousarray(y, np.uint8)
+            bp0 = np.empty(M + 1, np.int64); bm0 = np.empty(M + 1, np.int64)
+            bp1 = np.empty(M + 1, np.int64); bm1 = np.empty(M + 1, np.int64)
+            lib.phase_stop_max(d32, yc, 0, M, bp0, bm0)
+            lib.phase_stop_max(d32, yc, 1, M, bp1, bm1)
+            bp, bm = [bp0, bp1], [bm0, bm1]
+        else:
+            bp = [_suffix_stop_max(d, y, 0, M), _suffix_stop_max(d, y, 1, M)]
+            bm = [_prefix_stop_max(d, y, 0, M), _prefix_stop_max(d, y, 1, M)]
         ymask = np.zeros(M + 2, dtype=np.int64)
         ymask[:M] = y
         jmap = [engine.cursor_map(u, c, 0, jidx), engine.cursor_map(u, c, 1, jidx)]
 
-        for jq in range(0, M_old, 2):
-            pr = jq // 2
-            x0, x1 = int(x_old[jq]), int(x_old[jq + 1])
-            live = np.flatnonzero(s[pr] != 0)
-            phases = [(x0, x1)] if x0 == x1 else [(x0, x1), (x1, x0)]
-            # gather candidates from all live cells under each phase order
-            cand_target = []
-            cand_s = []
-            cand_j = []
-            cand_phase = []
-            cand_fields = []
-            for ph, (xa, xb) in enumerate(phases):
-                j0 = live
-                oj1 = j1[pr][live]
-                tdp0 = np.where(bp[xa][j0] >= 0,
-                                np.maximum(dp0[pr][live], bp[xa][j0]),
-                                dp0[pr][live])
-                tdm0 = np.where(bm[xa][j0] >= 0,
-                                np.maximum(dm0[pr][live], bm[xa][j0]),
-                                dm0[pr][live])
-                tdp1 = np.where(bp[xb][oj1] >= 0,
-                                np.maximum(dp1[pr][live], bp[xb][oj1]),
-                                dp1[pr][live])
-                tdm1 = np.where(bm[xb][oj1] >= 0,
-                                np.maximum(dm1[pr][live], bm[xb][oj1]),
-                                dm1[pr][live])
-                ds0 = np.zeros(len(live), dtype=np.float32)
-                has_prev = j0 > 0
-                sign_prev = np.where(ymask[j0 - 1] == xa, 1.0, -1.0)
-                ds0 += np.where(has_prev,
-                                sign_prev * (k - dm0[pr][live]), 0.0).astype(np.float32)
-                has_next = j0 < M
-                sign_next = np.where(ymask[np.minimum(j0, M - 1)] == xa, 1.0, -1.0)
-                ds0 += np.where(has_next,
-                                sign_next * (k - dp0[pr][live]), 0.0).astype(np.float32)
-                ds1 = np.zeros(len(live), dtype=np.float32)
-                has_prev1 = oj1 > 0
-                sign_prev1 = np.where(ymask[oj1 - 1] == xb, 1.0, -1.0)
-                ds1 += np.where(has_prev1,
-                                sign_prev1 * (k - dm1[pr][live]), 0.0).astype(np.float32)
-                has_next1 = oj1 < M
-                sign_next1 = np.where(ymask[np.minimum(oj1, M - 1)] == xb, 1.0, -1.0)
-                ds1 += np.where(has_next1,
-                                sign_next1 * (k - dp1[pr][live]), 0.0).astype(np.float32)
-                ts = (s[pr][live] + np.minimum(ds0, 0.0)
-                      + np.minimum(ds1, 0.0)).astype(np.float32)
-                tgt = jmap[xa][j0]
-                nj1 = jmap[xb][oj1]
-                cand_target.append(tgt)
-                cand_s.append(ts)
-                cand_j.append(j0)
-                cand_phase.append(np.full(len(live), ph, dtype=np.int64))
-                cand_fields.append((nj1, tdp0, tdm0, tdp1, tdm1))
+        # one batched lattice update across all pairs (the reference's
+        # per-query step-2 loop, pbwtImpute.c:962-992, vectorised over the
+        # global sparse set of live cells x phase orders)
+        x0 = x_old[0::2].astype(np.int64)
+        x1 = x_old[1::2].astype(np.int64)
+        het_p = x0 != x1
+        prw, jw = np.nonzero(s)                             # live cells
+        bp_t = np.stack(bp)                                 # (2,M+1)
+        bm_t = np.stack(bm)
+        jmap_t = np.stack(jmap)
+        s_l = s[prw, jw]
+        oj1_l = j1[prw, jw]
+        dp0_l = dp0[prw, jw]; dm0_l = dm0[prw, jw]
+        dp1_l = dp1[prw, jw]; dm1_l = dm1[prw, jw]
+        back_l = back[prw, jw]
+        het_l = het_p[prw]
+        nl = len(prw)
 
-            tgt = np.concatenate(cand_target)
-            ts = np.concatenate(cand_s)
-            jj = np.concatenate(cand_j)
-            ph_arr = np.concatenate(cand_phase)
-            nj1 = np.concatenate([f[0] for f in cand_fields])
-            tdp0 = np.concatenate([f[1] for f in cand_fields])
-            tdm0 = np.concatenate([f[2] for f in cand_fields])
-            tdp1 = np.concatenate([f[3] for f in cand_fields])
-            tdm1 = np.concatenate([f[4] for f in cand_fields])
-            # winner per target: max s; ties broken by (j, phase) arrival order
-            order = np.lexsort((ph_arr, jj, -ts, tgt))
-            tgt_sorted = tgt[order]
-            first = np.ones(len(order), dtype=bool)
-            first[1:] = tgt_sorted[1:] != tgt_sorted[:-1]
-            win = order[first]
+        parts = []
+        for ph in (0, 1):
+            if ph == 0:
+                sel = slice(None)
+                pr_s, j_s = prw, jw
+                xa = x0[prw]; xb = x1[prw]
+                s_s, oj1_s = s_l, oj1_l
+                dp0_s, dm0_s, dp1_s, dm1_s = dp0_l, dm0_l, dp1_l, dm1_l
+                back_s = back_l
+            else:
+                idx = np.flatnonzero(het_l)
+                if not len(idx):
+                    continue
+                pr_s, j_s = prw[idx], jw[idx]
+                xa = x1[pr_s]; xb = x0[pr_s]
+                s_s, oj1_s = s_l[idx], oj1_l[idx]
+                dp0_s, dm0_s = dp0_l[idx], dm0_l[idx]
+                dp1_s, dm1_s = dp1_l[idx], dm1_l[idx]
+                back_s = back_l[idx]
+            bp_a = bp_t[xa, j_s]
+            bm_a = bm_t[xa, j_s]
+            bp_b = bp_t[xb, oj1_s]
+            bm_b = bm_t[xb, oj1_s]
+            tdp0 = np.where(bp_a >= 0, np.maximum(dp0_s, bp_a), dp0_s)
+            tdm0 = np.where(bm_a >= 0, np.maximum(dm0_s, bm_a), dm0_s)
+            tdp1 = np.where(bp_b >= 0, np.maximum(dp1_s, bp_b), dp1_s)
+            tdm1 = np.where(bm_b >= 0, np.maximum(dm1_s, bm_b), dm1_s)
+            sign_prev = np.where(ymask[j_s - 1] == xa, 1.0, -1.0)
+            sign_next = np.where(ymask[np.minimum(j_s, M - 1)] == xa,
+                                 1.0, -1.0)
+            ds0 = (np.where(j_s > 0, sign_prev * (k - dm0_s), 0.0)
+                   + np.where(j_s < M, sign_next * (k - dp0_s), 0.0))
+            sign_prev1 = np.where(ymask[oj1_s - 1] == xb, 1.0, -1.0)
+            sign_next1 = np.where(ymask[np.minimum(oj1_s, M - 1)] == xb,
+                                  1.0, -1.0)
+            ds1 = (np.where(oj1_s > 0, sign_prev1 * (k - dm1_s), 0.0)
+                   + np.where(oj1_s < M, sign_next1 * (k - dp1_s), 0.0))
+            ts = (s_s + np.minimum(ds0, 0.0).astype(np.float32)
+                  + np.minimum(ds1, 0.0).astype(np.float32))
+            tgt = jmap_t[xa, j_s]
+            nj1 = jmap_t[xb, oj1_s]
+            parts.append((pr_s, j_s, np.full(len(pr_s), ph, np.int64),
+                          ts, tgt, nj1, tdp0, tdm0, tdp1, tdm1, back_s, xa))
 
-            new_s = np.zeros(M + 1, dtype=np.float32)
-            new_j1 = np.zeros(M + 1, dtype=np.int64)
-            new_dp0 = np.zeros(M + 1, dtype=np.int64)
-            new_dm0 = np.zeros(M + 1, dtype=np.int64)
-            new_dp1 = np.zeros(M + 1, dtype=np.int64)
-            new_dm1 = np.zeros(M + 1, dtype=np.int64)
-            new_back = np.zeros(M + 1, dtype=np.int64)
-            wt = tgt[win]
-            new_s[wt] = ts[win]
-            new_j1[wt] = nj1[win]
-            new_dp0[wt] = tdp0[win]
-            new_dm0[wt] = tdm0[win]
-            new_dp1[wt] = tdp1[win]
-            new_dm1[wt] = tdm1[win]
-            for w in win:
-                t = tgt[w]
-                src = jj[w]
-                if x0 == x1:
-                    new_back[t] = back[pr][src]
-                else:
-                    xa = phases[ph_arr[w]][0]
-                    tb_parent.append(int(back[pr][src]))
-                    tb_value.append(xa)
-                    new_back[t] = len(tb_parent) - 1
-            s[pr] = new_s
-            j1[pr] = new_j1
-            dp0[pr], dm0[pr] = new_dp0, new_dm0
-            dp1[pr], dm1[pr] = new_dp1, new_dm1
-            back[pr] = new_back
+        pr_f = np.concatenate([p[0] for p in parts])
+        jj_f = np.concatenate([p[1] for p in parts])
+        ph_f = np.concatenate([p[2] for p in parts])
+        ts_f = np.concatenate([p[3] for p in parts])
+        tg_f = np.concatenate([p[4] for p in parts])
+        nj_f = np.concatenate([p[5] for p in parts])
+        f0_f = np.concatenate([p[6] for p in parts])
+        f1_f = np.concatenate([p[7] for p in parts])
+        f2_f = np.concatenate([p[8] for p in parts])
+        f3_f = np.concatenate([p[9] for p in parts])
+        bk_f = np.concatenate([p[10] for p in parts])
+        xa_f = np.concatenate([p[11] for p in parts])
+        # winner per (pair, target): max s, ties by (j, phase) arrival order
+        order = np.lexsort((ph_f, jj_f, -ts_f, tg_f, pr_f))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = ((tg_f[order][1:] != tg_f[order][:-1])
+                     | (pr_f[order][1:] != pr_f[order][:-1]))
+        win = order[first]
+
+        s[prw, jw] = 0.0
+        j1[prw, jw] = 0
+        dp0[prw, jw] = 0; dm0[prw, jw] = 0
+        dp1[prw, jw] = 0; dm1[prw, jw] = 0
+        back[prw, jw] = 0
+        wp, wt = pr_f[win], tg_f[win]
+        s[wp, wt] = ts_f[win]
+        j1[wp, wt] = nj_f[win]
+        dp0[wp, wt] = f0_f[win]
+        dm0[wp, wt] = f1_f[win]
+        dp1[wp, wt] = f2_f[win]
+        dm1[wp, wt] = f3_f[win]
+        het_w = het_p[wp]
+        hidx = np.flatnonzero(het_w)
+        back[wp, wt] = bk_f[win]           # hom pairs: copy the back chain
+        if len(hidx):
+            # het winners allocate traceback nodes recording the chosen phase
+            base = len(tb_parent)
+            tb_parent.extend(bk_f[win][hidx].tolist())
+            tb_value.extend(xa_f[win][hidx].tolist())
+            back[wp[hidx], wt[hidx]] = base + np.arange(len(hidx))
 
         uold.forwards_read()
         uref.forwards_read_ad(k)

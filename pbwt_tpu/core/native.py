@@ -78,6 +78,8 @@ def get_lib():
     lib.expand_records.restype = L
     lib.expand_records.argtypes = [u8p, L, L, L, i64p, i32p, i32p, i32p,
                                    i32p, i32p, L]
+    lib.phase_stop_max.restype = None
+    lib.phase_stop_max.argtypes = [i32p, u8p, ctypes.c_int, L, i64p, i64p]
     lib.expand_records_mt.restype = L
     lib.expand_records_mt.argtypes = [u8p, L, L, L, L, i64p, i32p, i64p,
                                       i32p, i32p, i32p, i32p, i64p, i32p]

@@ -111,6 +111,64 @@ def test_pallas_partition_edge_columns():
         assert np.array_equal(np.asarray(a_o).reshape(-1), a)
 
 
+def test_pallas_ad_partition_matches_engine():
+    """Divergence-carrying Pallas step (interpret mode) == host forwards_ad,
+    including the FM rank table and zero counts."""
+    from pbwt_tpu.ops import partition_pallas as pp
+    import jax.numpy as jnp
+    M = 4096
+    R = M // 128
+    rng = np.random.RandomState(5)
+    w = rng.randint(0, 2**32, size=M, dtype=np.uint32).astype(np.int32)
+    a = np.arange(M, dtype=np.int32)
+    d = np.zeros(M + 1, dtype=np.int32)
+    d[0] = d[M] = 1
+    aj = jnp.asarray(a.reshape(R, 128))
+    dj = jnp.asarray(d[:M].reshape(R, 128))
+    wj = jnp.asarray(w.reshape(R, 128))
+    for k in range(4):
+        a2, d2, w2, u, cnt = pp.partition_ad_step(aj, dj, wj, k, k,
+                                                  interpret=True)
+        key = ((w >> k) & 1).astype(np.uint8)
+        exp_u = np.concatenate([[0], np.cumsum(key == 0)])[:M]
+        assert np.array_equal(np.asarray(u).reshape(-1), exp_u)
+        assert int(cnt[0]) == int((key == 0).sum())
+        a, d = engine.forwards_ad(a, d, key, k)
+        order = np.concatenate([np.nonzero(key == 0)[0],
+                                np.nonzero(key == 1)[0]])
+        w = w[order]
+        assert np.array_equal(np.asarray(a2).reshape(-1), a)
+        assert np.array_equal(np.asarray(d2).reshape(-1), d[:M])
+        aj, dj, wj = a2, d2, w2
+
+
+def test_panel_words_from_bits_roundtrip():
+    """Device word derivation from bit-packed rows == host pack_group_words."""
+    from pbwt_tpu.ops import build as dbuild
+    from pbwt_tpu.ops import match_jax as mj
+    import jax.numpy as jnp
+    rng = np.random.RandomState(9)
+    M, N = 256, 70
+    X = (rng.random_sample((M, N)) < 0.4).astype(np.uint8)
+    Ng = (N + 31) // 32
+    bits = mj.bitpack_rows(X)
+    pad = np.zeros((M, 4 * Ng), np.uint8)
+    pad[:, :bits.shape[1]] = bits
+    W_dev = np.asarray(mj._panel_words_from_bits(jnp.asarray(pad)))
+    # host: pad sites with ZEROS to match the device convention
+    cols = np.zeros((Ng * 32, M), np.uint8)
+    cols[:N] = X.T
+    W_host = dbuild.pack_group_words(cols[:N])
+    # pack_group_words pads with ones; rebuild zero-padded words directly
+    Wz = np.zeros((Ng, M), np.uint32)
+    for t in range(Ng):
+        for s in range(32):
+            k = 32 * t + s
+            if k < N:
+                Wz[t] |= X[:, k].astype(np.uint32) << np.uint32(s)
+    assert np.array_equal(W_dev.astype(np.uint32), Wz)
+
+
 def test_padding_rows_stay_at_end():
     from pbwt_tpu.ops import build as dbuild
     import jax.numpy as jnp
