@@ -210,6 +210,61 @@ EXPORT long expand_records(const uint8_t *Ybits, long stride, long M, long N,
     return nrows;
 }
 
+/* referenceImpute3 weighted vote (pbwtImpute.c:1204-1232): per reference
+   site and target haplotype, the positionally weighted allele vote over
+   covering maximal-match segments, with the reference's segment-window
+   advance and sequential float accumulation (bit-exact dosages).
+   Xcols is (Nref, Mref) natural-order alleles, one contiguous row per
+   site. Also fills the per-site info inputs psum/xsum/pxsum/nvote. */
+EXPORT void impute_vote(const int32_t *seg_jref, const int32_t *seg_s,
+                        const int32_t *seg_e, const int64_t *seg_off,
+                        int32_t *first, long T, long Nref,
+                        const uint8_t *Xcols, long Mref,
+                        const int64_t *kold, const double *ref_freq,
+                        uint8_t *x_out, double *dos_out, uint8_t *voted_out,
+                        double *psum_out, double *xsum_out,
+                        double *pxsum_out, int64_t *nvote_out)
+{
+    for (long k = 0; k < Nref; ++k) {
+        long ko = kold[k];
+        const uint8_t *col = Xcols + k * Mref;
+        double rf = ref_freq[k];
+        double psum = 0, xsum = 0, pxsum = 0;
+        long n = 0;
+        uint8_t *xr = x_out + k * T;
+        double *dr = dos_out + k * T;
+        uint8_t *vr = voted_out + k * T;
+        for (long j = 0; j < T; ++j) {
+            long mi = first[j], end = seg_off[j + 1];
+            while (mi < end && seg_e[mi] <= ko) ++mi;
+            first[j] = (int32_t)mi;
+            double ssum = 0, score = 0;
+            for (; mi < end && seg_s[mi] < ko; ++mi) {
+                double bit = (double)(ko - seg_s[mi])
+                             * (double)(seg_e[mi] - ko);
+                if (bit > 0) {
+                    ssum += bit;
+                    if (col[seg_jref[mi]]) score += bit;
+                }
+            }
+            if (ssum == 0) {
+                xr[j] = rf > 0.5;
+                dr[j] = rf;
+                vr[j] = 0;
+            } else {
+                double pj = score / ssum;
+                xr[j] = pj > 0.5;
+                dr[j] = pj;
+                vr[j] = 1;
+                psum += pj; xsum += xr[j]; pxsum += pj * xr[j];
+                ++n;
+            }
+        }
+        psum_out[k] = psum; xsum_out[k] = xsum; pxsum_out[k] = pxsum;
+        nvote_out[k] = n;
+    }
+}
+
 /* EXTEND4 reference-phasing helpers (pbwtImpute.c:848-901): segmented
    running maxima of the divergence array that stop at the nearest
    position with allele x (the values pbwtCursorMapDplus/Dminus would

@@ -106,6 +106,65 @@ def _collect_matches(p_frame: PBWT, p_old: PBWT, self_impute: bool):
     return max_match
 
 
+def _vote_all_sites(max_match, T: int, Xref_nat: np.ndarray,
+                    kold_of_kref: np.ndarray, ref_freq: np.ndarray,
+                    chunk: int = 512):
+    """Vectorised weighted vote over all reference sites (the inner loops of
+    referenceImpute3, pbwtImpute.c:1204-1232): per target and site,
+    sum w = (kOld-start)*(end-kOld) over covering segments (weights > 0 and
+    start < kOld) and the allele-weighted score, via a float64
+    cumsum-difference over the per-target segment ranges.
+
+    Returns (x (T, Nref) uint8, dosage (T, Nref) float64, voted bool)."""
+    segs = []
+    for j in range(T):
+        for j_ref, s_, e_ in max_match[j][:-1]:     # drop the end marker
+            segs.append((j, j_ref, s_, e_))
+    Nref = Xref_nat.shape[1]
+    if not segs:
+        dosage = np.broadcast_to(ref_freq, (T, Nref)).copy()
+        return (dosage > 0.5).astype(np.uint8), dosage, np.zeros(
+            (T, Nref), bool)
+    segs = np.asarray(segs, np.int64)
+    counts = np.bincount(segs[:, 0], minlength=T)
+    off = np.zeros(T + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    jref = segs[:, 1]
+    s0 = segs[:, 2][:, None].astype(np.float64)
+    e0 = segs[:, 3][:, None].astype(np.float64)
+    x = np.empty((T, Nref), np.uint8)
+    dosage = np.empty((T, Nref), np.float64)
+    voted = np.empty((T, Nref), bool)
+    ns = len(segs)
+    # preallocated chunk workspaces: fresh multi-MB temporaries per chunk
+    # would page-fault at sandbox speeds (see core.native.pooled)
+    w = np.empty((ns, chunk))
+    t1 = np.empty((ns, chunk))
+    cw = np.zeros((ns + 1, chunk))
+    for c0 in range(0, Nref, chunk):
+        c1 = min(c0 + chunk, Nref)
+        cc = c1 - c0
+        k = kold_of_kref[c0:c1][None, :].astype(np.float64)
+        wv, tv = w[:, :cc], t1[:, :cc]
+        np.subtract(k, s0, out=wv)
+        np.subtract(e0, k, out=tv)
+        wv *= tv
+        wv[~((s0 < k) & (wv > 0))] = 0.0
+        np.cumsum(wv, axis=0, out=cw[1:, :cc])
+        ssum = cw[off[1:], :cc] - cw[off[:-1], :cc]
+        np.multiply(wv, Xref_nat[jref, c0:c1], out=tv)
+        np.cumsum(tv, axis=0, out=cw[1:, :cc])
+        score = cw[off[1:], :cc] - cw[off[:-1], :cc]
+        v = ssum > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pj = score / ssum
+        dj = np.where(v, pj, ref_freq[c0:c1][None, :])
+        dosage[:, c0:c1] = dj
+        x[:, c0:c1] = dj > 0.5
+        voted[:, c0:c1] = v
+    return x, dosage, voted
+
+
 def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
                       n_sparse: int = 1, f_sparse: float = 1.0) -> PBWT:
     log("Reference impute using maximal matches: ")
@@ -133,6 +192,84 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
     vd = registry.variation_dict
     frame_keys = [(s.x, s.varD) for s in p_frame.sites]
     ref_sites = p_ref.sites
+
+    if not self_impute:
+        # frame coordinate per reference site (the kOld the serial loop
+        # would hold at that site, pbwtImpute.c:1185-1190)
+        kold_of_kref = np.zeros(p_ref.N, np.int64)
+        k_old = 0
+        for k_ref in range(p_ref.N):
+            rs = ref_sites[k_ref]
+            if (k_old < len(frame_keys) and rs.x == frame_keys[k_old][0]
+                    and rs.varD == frame_keys[k_old][1]):
+                k_old += 1
+            kold_of_kref[k_ref] = k_old
+        from ..core import native
+        Xref_nat = p_ref.haplotypes()
+        ref_freq = ((YRef != 0).sum(axis=1) / float(p_ref.M)).astype(np.float64)
+        for k_ref in range(p_ref.N):
+            ref_sites[k_ref].refFreq = float(ref_freq[k_ref])
+        T, Nref = p_old.M, p_ref.N
+        lib = native.get_lib()
+        if lib is not None:
+            segs = [(j, jr, s_, e_) for j in range(T)
+                    for jr, s_, e_ in max_match[j][:-1]]
+            segs = (np.asarray(segs, np.int64) if segs
+                    else np.zeros((0, 4), np.int64))
+            counts = np.bincount(segs[:, 0], minlength=T) if len(segs) \
+                else np.zeros(T, np.int64)
+            seg_off = np.zeros(T + 1, np.int64)
+            np.cumsum(counts, out=seg_off[1:])
+            Xcols = np.ascontiguousarray(Xref_nat.T)
+            x_all = np.empty((Nref, T), np.uint8)
+            dos_all = np.empty((Nref, T), np.float64)
+            voted = np.empty((Nref, T), np.uint8)
+            psums = np.empty(Nref); xsums = np.empty(Nref)
+            pxsums = np.empty(Nref); nvote = np.empty(Nref, np.int64)
+            lib.impute_vote(
+                np.ascontiguousarray(segs[:, 1], np.int32),
+                np.ascontiguousarray(segs[:, 2], np.int32),
+                np.ascontiguousarray(segs[:, 3], np.int32),
+                seg_off, seg_off[:-1].astype(np.int32), T, Nref,
+                Xcols.reshape(-1), p_ref.M, kold_of_kref, ref_freq,
+                x_all.reshape(-1), dos_all.reshape(-1), voted.reshape(-1),
+                psums, xsums, pxsums, nvote)
+            x_all, dos_all = x_all.T, dos_all.T
+            n_conflicts = int((voted == 0).sum())
+        else:
+            x_all, dos_all, voted = _vote_all_sites(
+                max_match, T, Xref_nat, kold_of_kref, ref_freq)
+            n_conflicts = int((~voted).sum())
+            nvote = voted.sum(axis=0)
+            psums = np.where(voted, dos_all, 0.0).sum(axis=0)
+            xsums = np.where(voted, x_all, 0).sum(axis=0).astype(np.float64)
+            pxsums = np.where(voted, dos_all * x_all, 0.0).sum(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            psn = psums / nvote
+            xsn = xsums / nvote
+            pxn = pxsums / nvote
+        for k_ref in range(p_ref.N):
+            y_new = x_all[u_new.a, k_ref]
+            y_dosage = dos_all[u_new.a, k_ref]
+            u_new.write_forwards(y_new)
+            dosage_offsets[k_ref] = len(zdosage)
+            enc = dosage_encode(y_dosage)
+            syms, lens = p3._runs(enc)
+            for s_, n_ in zip(syms.tolist(), lens.tolist()):
+                _dosage_emit(zdosage, int(s_), int(n_))
+            if nvote[k_ref]:
+                var_prod = (psn[k_ref] * (1 - psn[k_ref])
+                            * xsn[k_ref] * (1 - xsn[k_ref]))
+                ref_sites[k_ref].imputeInfo = (
+                    (pxn[k_ref] - psn[k_ref] * psn[k_ref])
+                    / math.sqrt(var_prod) if var_prod else 1.0)
+        p_new.set_from_write_cursor(u_new, p_ref.N)
+        p_new.zDosage = bytes(zdosage)
+        p_new.dosageOffset = np.array(dosage_offsets, dtype=np.int64)
+        if n_conflicts:
+            log(f"{n_conflicts} times where no overlapping matches because "
+                "query does not match any reference - set imputed value to 0")
+        return p_new
 
     k_old = 0
     for k_ref in range(p_ref.N):

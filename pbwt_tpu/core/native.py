@@ -78,6 +78,11 @@ def get_lib():
     lib.expand_records.restype = L
     lib.expand_records.argtypes = [u8p, L, L, L, i64p, i32p, i32p, i32p,
                                    i32p, i32p, L]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.impute_vote.restype = None
+    lib.impute_vote.argtypes = [i32p, i32p, i32p, i64p, i32p, L, L, u8p, L,
+                                i64p, f64p, u8p, f64p, u8p, f64p, f64p,
+                                f64p, i64p]
     lib.phase_stop_max.restype = None
     lib.phase_stop_max.argtypes = [i32p, u8p, ctypes.c_int, L, i64p, i64p]
     lib.expand_records_mt.restype = L
