@@ -210,6 +210,69 @@ EXPORT long expand_records(const uint8_t *Ybits, long stride, long M, long N,
     return nrows;
 }
 
+/* paintAncestryMatrix accumulation (pbwtPaint.c:56-209, dense variant):
+   per recipient haplotype, walk sites distributing the positional weight
+   (k-start)*(end-k)/sum over donor individuals, with chunksperregion
+   region flushes. Segments per hap are in report order (end ascending).
+   cutoff < 0 disables the sparse length cutoff. */
+EXPORT void paint_accumulate(const int32_t *seg_j, const int32_t *seg_s,
+                             const int32_t *seg_e, const int64_t *seg_off,
+                             long M, long N, long n_inds, long ploidy,
+                             long chunksperregion, double cutoff,
+                             double *counts, double *counts2,
+                             double *counts3, double *totlengths,
+                             double *nregions, double *part)
+{
+    for (long i = 0; i < M; ++i) {
+        long lo = seg_off[i], hi = seg_off[i + 1];
+        if (lo >= hi) continue;
+        long me = i / ploidy;
+        long m1 = lo, n1 = 1, m_stop = hi - 1;
+        for (long j = 0; j < n_inds; ++j) part[j] = 0.0;
+        double *cnt = counts + me * n_inds;
+        double *cnt2 = counts2 + me * n_inds;
+        double *cnt3 = counts3 + me * n_inds;
+        double *tl = totlengths + me * n_inds;
+        for (long k = 1; k < N; ++k) {
+            while (seg_e[m1] <= k && m1 < m_stop) {
+                if (n1 % chunksperregion == 0) {
+                    for (long j = 0; j < n_inds; ++j) {
+                        if (j == me) continue;
+                        cnt2[j] += part[j] * part[j];
+                        cnt3[j] += part[j];
+                        part[j] = 0.0;
+                    }
+                    /* the reference zeroes every entry, recipient too */
+                    part[me] = 0.0;
+                    nregions[me] += 1.0;
+                }
+                ++m1; ++n1;
+            }
+            double ssum = 0.0;
+            for (long m = m1; m <= m_stop && seg_s[m] < k; ++m) {
+                if (seg_j[m] / ploidy != me
+                        && (double)(seg_e[m] - seg_s[m]) > cutoff) {
+                    double bit = (double)(k - seg_s[m])
+                                 * (double)(seg_e[m] - k);
+                    ssum += bit;
+                }
+            }
+            if (ssum == 0.0) continue;
+            for (long m = m1; m <= m_stop && seg_s[m] < k; ++m) {
+                long ind = seg_j[m] / ploidy;
+                if (ind == me) continue;
+                if ((double)(seg_e[m] - seg_s[m]) <= cutoff) continue;
+                double w = (double)(k - seg_s[m])
+                           * (double)(seg_e[m] - k) / ssum;
+                tl[ind] += w;
+                double thiscount = w / (double)(seg_e[m] - seg_s[m]);
+                cnt[ind] += thiscount;
+                part[ind] += thiscount;
+            }
+        }
+    }
+}
+
 /* referenceImpute3 weighted vote (pbwtImpute.c:1204-1232): per reference
    site and target haplotype, the positionally weighted allele vote over
    covering maximal-match segments, with the reference's segment-window

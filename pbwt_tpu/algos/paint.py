@@ -44,52 +44,68 @@ def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
         flp = fopen_tag(file_root, "localancestry.out", "w")
         flp.write("pos" + "".join(f" IND{i + 1}" for i in range(n_inds)) + "\n")
 
-    for i in range(p.M):
-        if outputlocal:
-            localsum = np.zeros((n_inds, p.N))
-        mm = max_match[i]
-        if not mm:
-            mm = [(i, 0, 0)]
-        m1 = 0
-        n1 = 1
-        m_stop = len(mm) - 1
-        part_counts[:] = 0.0
-        me = map_ih[i]
-        for k in range(1, p.N):
-            while mm[m1][2] <= k and m1 < m_stop:
-                if n1 % chunksperregion == 0:
-                    mask = np.arange(n_inds) != me
-                    counts2[me][mask] += part_counts[mask] ** 2
-                    counts3[me][mask] += part_counts[mask]
-                    part_counts[:] = 0.0
-                    nregions[me] += 1.0
-                m1 += 1
-                n1 += 1
-            ssum = 0.0
-            mlist = []
-            m = m1
-            while m <= m_stop and mm[m][1] < k:
-                jm, sm, em = mm[m]
-                if map_ih[jm] != me:
-                    mlist.append((jm, sm, em))
-                    ssum += (k - sm) * (em - k)
-                m += 1
-            if ssum:
-                for jm, sm, em in mlist:
-                    w = (k - sm) * (em - k) / ssum
-                    if outputlocal:
-                        localsum[map_ih[jm]][k] += w
-                    totlengths[me][map_ih[jm]] += w
-                    thiscount = w / (em - sm)
-                    counts[me][map_ih[jm]] += thiscount
-                    part_counts[map_ih[jm]] += thiscount
-        if outputlocal:
-            flp.write(f"HAP {i + 1} IND{me + 1}\n")
-            for k in range(p.N - 1, -1, -1):
-                flp.write(str(p.sites[k].x))
-                for j in range(n_inds):
-                    flp.write(f" {localsum[j][k]:0.3f}")
-                flp.write("\n")
+    from ..core import native
+    lib = native.get_lib()
+    if lib is not None and not outputlocal:
+        segs = [(j, s, e) for mm in max_match for (j, s, e) in mm]
+        seg_arr = (np.asarray(segs, np.int64) if segs
+                   else np.zeros((0, 3), np.int64))
+        seg_off = np.zeros(p.M + 1, np.int64)
+        np.cumsum([len(mm) for mm in max_match], out=seg_off[1:])
+        lib.paint_accumulate(
+            np.ascontiguousarray(seg_arr[:, 0], np.int32),
+            np.ascontiguousarray(seg_arr[:, 1], np.int32),
+            np.ascontiguousarray(seg_arr[:, 2], np.int32),
+            seg_off, p.M, p.N, n_inds, ploidy, chunksperregion, -1.0,
+            counts.reshape(-1), counts2.reshape(-1), counts3.reshape(-1),
+            totlengths.reshape(-1), nregions, part_counts)
+    else:
+        for i in range(p.M):
+            if outputlocal:
+                localsum = np.zeros((n_inds, p.N))
+            mm = max_match[i]
+            if not mm:
+                mm = [(i, 0, 0)]
+            m1 = 0
+            n1 = 1
+            m_stop = len(mm) - 1
+            part_counts[:] = 0.0
+            me = map_ih[i]
+            for k in range(1, p.N):
+                while mm[m1][2] <= k and m1 < m_stop:
+                    if n1 % chunksperregion == 0:
+                        mask = np.arange(n_inds) != me
+                        counts2[me][mask] += part_counts[mask] ** 2
+                        counts3[me][mask] += part_counts[mask]
+                        part_counts[:] = 0.0
+                        nregions[me] += 1.0
+                    m1 += 1
+                    n1 += 1
+                ssum = 0.0
+                mlist = []
+                m = m1
+                while m <= m_stop and mm[m][1] < k:
+                    jm, sm, em = mm[m]
+                    if map_ih[jm] != me:
+                        mlist.append((jm, sm, em))
+                        ssum += (k - sm) * (em - k)
+                    m += 1
+                if ssum:
+                    for jm, sm, em in mlist:
+                        w = (k - sm) * (em - k) / ssum
+                        if outputlocal:
+                            localsum[map_ih[jm]][k] += w
+                        totlengths[me][map_ih[jm]] += w
+                        thiscount = w / (em - sm)
+                        counts[me][map_ih[jm]] += thiscount
+                        part_counts[map_ih[jm]] += thiscount
+            if outputlocal:
+                flp.write(f"HAP {i + 1} IND{me + 1}\n")
+                for k in range(p.N - 1, -1, -1):
+                    flp.write(str(p.sites[k].x))
+                    for j in range(n_inds):
+                        flp.write(f" {localsum[j][k]:0.3f}")
+                    flp.write("\n")
     if outputlocal:
         flp.close()
 

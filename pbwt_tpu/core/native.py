@@ -79,6 +79,10 @@ def get_lib():
     lib.expand_records.argtypes = [u8p, L, L, L, i64p, i32p, i32p, i32p,
                                    i32p, i32p, L]
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.paint_accumulate.restype = None
+    lib.paint_accumulate.argtypes = [i32p, i32p, i32p, i64p, L, L, L, L, L,
+                                     ctypes.c_double, f64p, f64p, f64p,
+                                     f64p, f64p, f64p]
     lib.impute_vote.restype = None
     lib.impute_vote.argtypes = [i32p, i32p, i32p, i64p, i32p, L, L, u8p, L,
                                 i64p, f64p, u8p, f64p, u8p, f64p, f64p,
