@@ -267,7 +267,7 @@ def build_pbwt_device(X: np.ndarray, multiple: int = 256):
     W = jnp.asarray(pack_group_words(cols))
     if use_pallas:
         from . import partition_pallas as pp
-        ywords, counts, a_end = pp.build_scan_pallas(W, a0)
+        ywords, counts, a_end = pp.build_scan_pallas_noa(W, a0)
         Ysort = pp.unpack_sitewords_host(np.asarray(ywords[:N]), M)
         counts = counts[:N]
     else:

@@ -163,9 +163,10 @@ def _rank_consts(R):
     return lt_lanes, lstrict, ones_rr
 
 
-def _partition_once(a, w, key, consts):
-    """One stable partition of the (a, w) planes by the binary key plane.
-    Returns (a', w', cfull) with cfull = zero count replicated everywhere.
+def _partition_planes(planes, key, consts):
+    """One stable partition of a list of planes by the binary key plane.
+    Returns (new_planes, cfull) with cfull = zero count replicated
+    everywhere.
 
     Ranks and prefix offsets ride the MXU: inclusive lane rank = key @
     upper-triangular ones, row offsets = strict-lower-triangular @ row
@@ -193,9 +194,9 @@ def _partition_once(a, w, key, consts):
 
     def place(valid, rank_incl, nvals, gstart, up):
         rem = jnp.where(valid, li + 1 - rank_incl, -1)
-        ca, cw = _compact_left([a, w], rem)
+        cp = _compact_left(planes, rem)
         start = gstart % L
-        ca, cw = _rotate_rows_right([ca, cw], start)
+        cp = _rotate_rows_right(cp, start)
         in_seg = ((li - start) % L) < nvals
         m1 = in_seg & (li >= start)
         m2 = in_seg & (li < start)
@@ -206,28 +207,29 @@ def _partition_once(a, w, key, consts):
             # part keeps its own shift pass.
             dA = ri - dest
             dB = jnp.maximum(ri - dest - 1, 0)
-            pa1, pw1 = _or_shift_up(
-                [jnp.where(m1, ca, 0), jnp.where(m1, cw, 0)], dA)
-            pa2, pw2 = _or_shift_up(
-                [jnp.where(m2, ca, 0), jnp.where(m2, cw, 0)], dB)
-            return pa1 | pa2, pw1 | pw2
+            o1 = _or_shift_up([jnp.where(m1, c, 0) for c in cp], dA)
+            o2 = _or_shift_up([jnp.where(m2, c, 0) for c in cp], dB)
+            return [x | y for x, y in zip(o1, o2)]
         # ones: m2(R-1) is provably empty (the last row's one segment starts
         # at gstart >= 128(R-1) and ends at M, so it never wraps) and a
         # nonempty m2(b) forces dest_{b+1} = dest_b + 1 with complementary
         # lanes, so the wrapped part folds one row down into the m1 plane
         # and both ride a single shift pass.
-        va = jnp.where(m1, ca, 0)
-        vw = jnp.where(m1, cw, 0)
-        va2 = jnp.where(m2, ca, 0)
-        vw2 = jnp.where(m2, cw, 0)
-        va = va | jnp.where(ri >= 1, pltpu.roll(va2, 1, axis=0), 0)
-        vw = vw | jnp.where(ri >= 1, pltpu.roll(vw2, 1, axis=0), 0)
-        pa, pw = _or_shift_down([va, vw], dest - ri)
-        return pa, pw
+        vs = [jnp.where(m1, c, 0)
+              | jnp.where(ri >= 1, pltpu.roll(jnp.where(m2, c, 0), 1,
+                                              axis=0), 0)
+              for c in cp]
+        return _or_shift_down(vs, dest - ri)
 
-    za, zw = place(key == 0, zr, cb, zoff, True)
-    oa, ow = place(key == 1, onr, ob, cfull + ooff, False)
-    return za | oa, zw | ow, cfull
+    zs = place(key == 0, zr, cb, zoff, True)
+    os_ = place(key == 1, onr, ob, cfull + ooff, False)
+    return [x | y for x, y in zip(zs, os_)], cfull
+
+
+def _partition_once(a, w, key, consts):
+    """Stable partition of the (a, w) planes (compat wrapper)."""
+    (a2, w2), cfull = _partition_planes([a, w], key, consts)
+    return a2, w2, cfull
 
 
 def _make_group_kernel(R):
@@ -400,6 +402,79 @@ def partition_ad_step(a, d, w, s, kk, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(a, d, w, sk)
+
+
+def _make_group_kernel_noa(R):
+    """Group kernel without the prefix-array plane: the caller advances
+    `a` with one stable XLA sort per group keyed by the unsigned packed
+    word (the LSD-radix identity: 32 bit-partitions == one stable sort by
+    the word value), so the kernel only moves the word plane."""
+    Rw = R // GROUP
+
+    def kernel(w_ref, w_out, y_out, cnt_out):
+        consts = _rank_consts(R)
+
+        def site_step(s, w):
+            key = jax.lax.shift_right_logical(w, s) & 1
+            x = key
+            for sh in (1, 2, 4, 8, 16):
+                x = x | (pltpu.roll(x, R - sh, axis=0) << sh)
+            for q in range(Rw):
+                y_out[pl.ds(s, 1), q, :] = x[GROUP * q:GROUP * q + 1, :]
+            (w,), cfull = _partition_planes([w], key, consts)
+            cnt_out[s] = cfull[0, 0]
+            return w
+
+        w = jax.lax.fori_loop(0, GROUP, site_step, w_ref[:])
+        w_out[:] = w
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def group_partition_noa(w, interpret=False):
+    """Partition 32 sites of the word plane only; see _make_group_kernel_noa.
+    Returns (w', sitewords (32, R//32, 128) int32, counts (32,))."""
+    R = w.shape[0]
+    return pl.pallas_call(
+        _make_group_kernel_noa(R),
+        out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((GROUP, R // GROUP, L), jnp.int32),
+                   jax.ShapeDtypeStruct((GROUP,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def build_scan_pallas_noa(W: jnp.ndarray, a0: jnp.ndarray, interpret=False):
+    """build_scan_pallas variant with the word-only kernel; `a` advances
+    via one stable u32-key sort per group in XLA."""
+    Ng, Mp = W.shape
+    R = Mp // L
+    iota = jnp.arange(Mp, dtype=jnp.int32)
+
+    def sort_gather(w_nat, a):
+        _, inv = jax.lax.sort((a, iota), num_keys=1, is_stable=True)
+        _, r = jax.lax.sort((inv, w_nat), num_keys=1, is_stable=True)
+        return r
+
+    def group_step(a, w_nat):
+        w = sort_gather(w_nat, a)
+        _, ywords, cnts = group_partition_noa(w.reshape(R, L),
+                                              interpret=interpret)
+        wkey = jax.lax.bitcast_convert_type(w, jnp.uint32)
+        _, a_n = jax.lax.sort((wkey, a), num_keys=1, is_stable=True)
+        return a_n, (ywords, cnts)
+
+    a_end, (ywords, counts) = jax.lax.scan(group_step, a0, W)
+    return (ywords.reshape(Ng * GROUP, R // GROUP, L),
+            counts.reshape(Ng * GROUP), a_end)
 
 
 def _use_interpret() -> bool:
