@@ -210,6 +210,61 @@ EXPORT long expand_records(const uint8_t *Ybits, long stride, long M, long N,
     return nrows;
 }
 
+/* phaseSweep het resolution (pbwtImpute.c:288-372): iterative
+   Gauss-Seidel passes over sample pairs scoring sort-order neighbours
+   in ncur cursors (score0), threshold decay, then the length-weighted
+   score1 fallback over the first n1cur cursors. aL/aR[-1] = absent.
+   xp is mutated in place. */
+EXPORT void phase_resolve(double *xp, long M, long ncur, long n1cur,
+                          const int32_t *aL, const int32_t *aR,
+                          const double *wL, const double *wR,
+                          double thresh)
+{
+    long n2 = 0;
+    for (long i = 0; i < M; i += 2) if (xp[i] == 0.0) ++n2;
+    while (n2 && thresh > 1.0) {
+        long n2_old = n2;
+        n2 = 0;
+        for (long i = 0; i < M; i += 2) {
+            if (xp[i] != 0.0) continue;
+            double s = 0.0;
+            for (long c = 0; c < ncur; ++c) {
+                const int32_t *l = aL + c * M, *r = aR + c * M;
+                double si = 0.0, sj = 0.0;
+                int32_t v;
+                if ((v = l[i]) >= 0) si += xp[v];
+                if ((v = r[i]) >= 0) si += xp[v];
+                if ((v = l[i + 1]) >= 0) sj += xp[v];
+                if ((v = r[i + 1]) >= 0) sj += xp[v];
+                s += si - sj;
+            }
+            if (s > thresh) { xp[i] = 1.0; xp[i + 1] = -1.0; }
+            else if (s < -thresh) { xp[i] = -1.0; xp[i + 1] = 1.0; }
+            else ++n2;
+        }
+        if (n2 == n2_old) thresh -= 1.0;
+    }
+    if (n2) {
+        for (long i = 0; i < M; i += 2) {
+            if (xp[i] != 0.0) continue;
+            double s = 0.0;
+            for (long c = 0; c < n1cur; ++c) {
+                const int32_t *l = aL + c * M, *r = aR + c * M;
+                const double *lw = wL + c * M, *rw = wR + c * M;
+                double si = 0.0, sj = 0.0;
+                int32_t v;
+                if ((v = l[i]) >= 0) si += xp[v] * lw[i];
+                if ((v = r[i]) >= 0) si += xp[v] * rw[i];
+                if ((v = l[i + 1]) >= 0) sj += xp[v] * lw[i + 1];
+                if ((v = r[i + 1]) >= 0) sj += xp[v] * rw[i + 1];
+                s += si - sj;
+            }
+            if (s > 0) { xp[i] = 1.0; xp[i + 1] = -1.0; }
+            else { xp[i] = -1.0; xp[i + 1] = 1.0; }
+        }
+    }
+}
+
 /* paintAncestryMatrix accumulation (pbwtPaint.c:56-209, dense variant):
    per recipient haplotype, walk sites distributing the positional weight
    (k-start)*(end-k)/sum over donor individuals, with chunksperregion

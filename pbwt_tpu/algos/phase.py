@@ -172,11 +172,39 @@ def phase_sweep(p: PBWT, ref: PBWT | None, is_start: bool,
         if is_start:
             up.forwards_read()
         xp = np.where(x != 0, 1.0, -1.0)
-        hets = [i for i in range(0, M, 2) if x[i] != x[i + 1]]
-        for i in hets:
-            xp[i] = xp[i + 1] = 0.0
+        hets = np.flatnonzero(x[0::2] != x[1::2]) * 2
+        xp[hets] = 0.0
+        xp[hets + 1] = 0.0
         n2 = len(hets)
         thresh = 0.5 if ref is not None else 2 * (n_sparse + (2 if r is not None else 1)) + 0.5
+        lib = native.get_lib()
+        if lib is not None and n2:
+            # neighbour tables per cursor: hap ids of the sort-order
+            # neighbours and the score1 length weights (exact reference
+            # summation order is preserved inside phase_resolve)
+            sc1 = [(uq, k)] + [(uqq[j], k // n_sparse)
+                               for j in range(n_sparse)]
+            curs = sc1 + ([(urw, None)] if urw is not None else [])
+            idx = np.arange(M, dtype=np.int32)
+            aLs, aRs, wLs, wRs = [], [], [], []
+            for c, kc in curs:
+                pos = c.b
+                al = np.where(pos > 0, c.a[np.maximum(pos - 1, 0)], -1)
+                ar = np.where(pos < M - 1, c.a[np.minimum(pos + 1, M - 1)],
+                              -1)
+                aLs.append(al.astype(np.int32))
+                aRs.append(ar.astype(np.int32))
+                if kc is not None:
+                    d = c.d
+                    wLs.append(score_bit[(kc + 1) - d[pos]])
+                    wRs.append(score_bit[(kc + 1) - d[pos + 1]])
+            lib.phase_resolve(
+                xp, M, len(curs), len(sc1),
+                np.ascontiguousarray(np.stack(aLs)),
+                np.ascontiguousarray(np.stack(aRs)),
+                np.ascontiguousarray(np.stack(wLs)),
+                np.ascontiguousarray(np.stack(wRs)), thresh)
+            n2 = 0
         while n2 and thresh > 1.0:
             n2_old = n2
             n2 = 0

@@ -79,6 +79,9 @@ def get_lib():
     lib.expand_records.argtypes = [u8p, L, L, L, i64p, i32p, i32p, i32p,
                                    i32p, i32p, L]
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.phase_resolve.restype = None
+    lib.phase_resolve.argtypes = [f64p, L, L, L, i32p, i32p, f64p, f64p,
+                                  ctypes.c_double]
     lib.paint_accumulate.restype = None
     lib.paint_accumulate.argtypes = [i32p, i32p, i32p, i64p, L, L, L, L, L,
                                      ctypes.c_double, f64p, f64p, f64p,
