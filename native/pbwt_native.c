@@ -544,6 +544,51 @@ EXPORT long max_within(const uint8_t *Ysort, long M, long N,
     return nrep;
 }
 
+/* long matches > T within a panel (matchLongWithin2, pbwtMatch.c:85-113):
+   block scan over divergence runs; at k == N the last column's values
+   stay in y (the reference reads past the end and compares stale
+   alleles). Reports (ai, bi, start, end); returns count. */
+EXPORT long long_within(const uint8_t *Ysort, long M, long N, long T,
+                        const int32_t *a0, int64_t *out, long cap)
+{
+    int32_t *a = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *d = (int32_t *)calloc(M + 1, sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *dones = (int32_t *)malloc((M + 1) * sizeof(int32_t));
+    memcpy(a, a0, M * sizeof(int32_t));
+    d[0] = 1; d[M] = 1;
+    long nrep = 0;
+    for (long kk = 0; kk <= N; ++kk) {
+        const uint8_t *y = Ysort + (kk < N ? kk : N - 1) * M;
+        long i0 = 0, na = 0, nb = 0;
+        for (long i = 0; i < M; ++i) {
+            if (d[i] > kk - T) {
+                if (na && nb) {
+                    for (long ia = i0; ia < i; ++ia) {
+                        long dmin = 0;
+                        for (long ib = ia + 1; ib < i; ++ib) {
+                            if (d[ib] > dmin) dmin = d[ib];
+                            if (y[ib] != y[ia]) {
+                                if (nrep < cap) {
+                                    int64_t *r = out + 4 * nrep;
+                                    r[0] = a[ia]; r[1] = a[ib];
+                                    r[2] = dmin; r[3] = kk;
+                                }
+                                ++nrep;
+                            }
+                        }
+                    }
+                }
+                na = 0; nb = 0; i0 = i;
+            }
+            if (y[i] == 0) ++na; else ++nb;
+        }
+        if (kk < N) fwd_ad(a, d, y, ones, dones, M, (int32_t)kk);
+    }
+    free(a); free(d); free(ones); free(dones);
+    return nrep;
+}
+
 /* dynamic sweep matching of queries against a panel (the production
    matcher).  Ysp/Ysq are sorted-order columns of panel and query pbwts.
    Reports (query, panel_hap, start, end) rows; returns count. */

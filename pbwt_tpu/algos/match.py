@@ -127,6 +127,13 @@ def match_maximal_within(p: PBWT, report) -> None:
 
 def match_long_within(p: PBWT, T: int, report) -> None:
     """Algorithm 3 variant with starts (matchLongWithin2, pbwtMatch.c:85-113)."""
+    from ..core import native
+    a0 = p.aFstart if p.aFstart is not None else np.arange(p.M, dtype=np.int32)
+    rows = native.long_within(p.decoded(True), T, a0)
+    if rows is not None:
+        for ai, bi, s, e in rows.tolist():
+            report(ai, bi, s, e)
+        return
     Y = p.decoded(True)
     M, N = p.M, p.N
     a = (p.aFstart if p.aFstart is not None else np.arange(M, dtype=np.int32)).copy()

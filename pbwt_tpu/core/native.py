@@ -71,6 +71,8 @@ def get_lib():
     lib.build_pbwt.argtypes = [u8p, L, L, i32p, u8p, L]
     lib.max_within.restype = L
     lib.max_within.argtypes = [u8p, L, L, i32p, i64p, L]
+    lib.long_within.restype = L
+    lib.long_within.argtypes = [u8p, L, L, L, i32p, i64p, L]
     lib.sweep_match.restype = L
     lib.sweep_match.argtypes = [u8p, L, u8p, L, L, i32p, i32p, i64p, L]
     lib.transpose_u8.restype = None
@@ -206,6 +208,25 @@ def max_within(Ysort: np.ndarray, a0: np.ndarray):
     while True:
         out = np.empty((cap, 4), np.int64)
         n = lib.max_within(Ysort.reshape(-1), M, N, a0, out.reshape(-1), cap)
+        if n <= cap:
+            return out[:n]
+        cap = n
+
+
+def long_within(Ysort: np.ndarray, T: int, a0: np.ndarray):
+    """Long-match (> T) reports as an (n, 4) int64 array in reference scan
+    order, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    N, M = Ysort.shape
+    Ysort = np.ascontiguousarray(Ysort, np.uint8)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    cap = max(4096, 8 * M)
+    while True:
+        out = np.empty((cap, 4), np.int64)
+        n = lib.long_within(Ysort.reshape(-1), M, N, T, a0,
+                            out.reshape(-1), cap)
         if n <= cap:
             return out[:n]
         cap = n
