@@ -1,0 +1,107 @@
+"""On-chip validation of the Pallas device paths (run on a real TPU).
+
+pytest forces JAX_PLATFORMS=cpu (tests/conftest.py), so the compiled Mosaic
+kernels only execute here and in bench.py. Exercises:
+  1. the word-only build kernel chain vs a numpy LSD-radix replay,
+  2. the divergence-carrying per-site kernel vs the host engine,
+  3. the kernel-driven query matcher vs the portable path (exact rows).
+
+Exits non-zero on any mismatch.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def check_build():
+    import jax.numpy as jnp
+    from pbwt_tpu.ops import build as dbuild
+    from pbwt_tpu.ops import partition_pallas as pp
+    M, N = 8192, 512
+    rng = np.random.RandomState(0)
+    freqs = rng.beta(0.2, 0.8, size=N)
+    X = (rng.random_sample((N, M)) < freqs[:, None]).astype(np.uint8)
+    W = jnp.asarray(dbuild.pack_group_words(X))
+    a0 = jnp.arange(M, dtype=jnp.int32)
+    yw, counts, a_end = pp.build_scan_pallas_noa(W, a0)
+    ycols = pp.unpack_sitewords_host(np.asarray(yw), M)
+    counts = np.asarray(counts)
+    a = np.arange(M)
+    for k in range(N):
+        y = X[k][a]
+        assert np.array_equal(ycols[k], y), f"build ycol mismatch @{k}"
+        assert int(counts[k]) == int((y == 0).sum()), f"build count @{k}"
+        a = np.concatenate([a[y == 0], a[y == 1]])
+    assert np.array_equal(a, np.asarray(a_end)), "build a_end mismatch"
+    print("PASS build kernel chain (M=8192, N=512)")
+
+
+def check_ad_kernel():
+    import jax.numpy as jnp
+    from pbwt_tpu.core import engine
+    from pbwt_tpu.ops import partition_pallas as pp
+    M = 4096
+    R = M // 128
+    rng = np.random.RandomState(5)
+    w = rng.randint(0, 2**32, size=M, dtype=np.uint32).astype(np.int32)
+    a = np.arange(M, dtype=np.int32)
+    d = np.zeros(M + 1, dtype=np.int32)
+    d[0] = d[M] = 1
+    aj = jnp.asarray(a.reshape(R, 128))
+    dj = jnp.asarray(d[:M].reshape(R, 128))
+    wj = jnp.asarray(w.reshape(R, 128))
+    for k in range(8):
+        a2, d2, w2, u, cnt = pp.partition_ad_step(aj, dj, wj, k % 32, k)
+        key = ((w >> (k % 32)) & 1).astype(np.uint8)
+        exp_u = np.concatenate([[0], np.cumsum(key == 0)])[:M]
+        assert np.array_equal(np.asarray(u).reshape(-1), exp_u), f"u @{k}"
+        a, d = engine.forwards_ad(a, d, key, k)
+        order = np.concatenate([np.nonzero(key == 0)[0],
+                                np.nonzero(key == 1)[0]])
+        w = w[order]
+        assert np.array_equal(np.asarray(a2).reshape(-1), a), f"a @{k}"
+        assert np.array_equal(np.asarray(d2).reshape(-1), d[:M]), f"d @{k}"
+        aj, dj, wj = a2, d2, w2
+    print("PASS divergence kernel chain (M=4096, 8 sites)")
+
+
+def check_matcher():
+    import jax
+    from pbwt_tpu.ops import match_jax as mj
+    rng = np.random.RandomState(7)
+    M, N, Q = 4500, 200, 24
+    F = (rng.random_sample((30, N)) < 0.4).astype(np.uint8)
+    Xp = (F[rng.randint(30, size=M)]
+          ^ (rng.random_sample((M, N)) < 0.02).astype(np.uint8))
+    Xp[100] = Xp[0]
+    Xq = np.empty((Q, N), np.uint8)
+    for q in range(Q):
+        pos = 0
+        while pos < N:
+            seg = rng.randint(20, 80)
+            src = rng.randint(0, M)
+            Xq[q, pos:pos + seg] = Xp[src, pos:pos + seg]
+            pos += seg
+    rows_tpu = mj._match_queries_tpu(Xp, Xq)
+    orig = jax.default_backend
+    jax.default_backend = lambda: "cpu"
+    try:
+        rows_ref = mj.match_queries_device(Xp, Xq)
+    finally:
+        jax.default_backend = orig
+    assert rows_tpu == rows_ref, (
+        f"matcher rows differ: {len(rows_tpu)} vs {len(rows_ref)}")
+    print(f"PASS kernel matcher == portable ({len(rows_tpu)} rows)")
+
+
+if __name__ == "__main__":
+    import jax
+    if jax.default_backend() != "tpu":
+        print("WARNING: no TPU backend; kernels run via interpret only")
+    check_build()
+    check_ad_kernel()
+    check_matcher()
+    print("ALL TPU SMOKE CHECKS PASSED")
