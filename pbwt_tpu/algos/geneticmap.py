@@ -7,7 +7,7 @@ import sys
 
 import numpy as np
 
-from ..core import engine, registry
+from ..core import registry
 from ..core.pbwt import PBWT
 from ..utils import log
 

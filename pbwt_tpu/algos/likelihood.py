@@ -8,7 +8,7 @@ import sys
 
 import numpy as np
 
-from ..core import engine, registry
+from ..core import engine
 from ..core.pbwt import PBWT
 from ..utils import log
 

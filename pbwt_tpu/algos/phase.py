@@ -4,8 +4,6 @@ pbwtImpute.c:288-396) and reference phasing via the pruned HMM lattice
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 from ..core import engine

@@ -259,7 +259,11 @@ def build_pbwt_device(X: np.ndarray, multiple: int = 256):
     """
     from ..core import pack3 as p3
     M, N = X.shape
-    use_pallas = jax.default_backend() == "tpu" and M > 4096
+    # Pallas kernel VMEM residency caps out around Mp ~ 2M rows (the
+    # word plane is Mp*4 bytes and ~a dozen stay live); beyond that the
+    # XLA grouped path takes over
+    use_pallas = (jax.default_backend() == "tpu" and M > 4096
+                  and pad_to(M, 4096) <= (1 << 21))
     if use_pallas:
         multiple = max(multiple, 4096)
     cols, Mp = prepare_columns(X, multiple)

@@ -20,8 +20,6 @@ communication-heavy part).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,0 +1,131 @@
+"""Native C fast paths vs their pure-Python/numpy fallbacks.
+
+The crosscheck suite compares against the reference binary when a C
+toolchain can build it; these tests need only our own two implementations
+and run everywhere."""
+
+import numpy as np
+import pytest
+
+from pbwt_tpu.core import native, registry
+from pbwt_tpu.core.pbwt import PBWT, Site
+
+
+def mosaic(seed, M, N, founders=10, err=0.01):
+    rng = np.random.RandomState(seed)
+    F = (rng.random_sample((founders, N)) < 0.4).astype(np.uint8)
+    return (F[rng.randint(founders, size=M)]
+            ^ (rng.random_sample((M, N)) < err).astype(np.uint8))
+
+
+@pytest.fixture
+def no_native(monkeypatch):
+    """Force the numpy fallbacks within a test."""
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+
+
+def _mk(X, sites=None):
+    vid = registry.variation("A", "C")
+    N = X.shape[1]
+    s = sites or [Site(x=10 * k + 1, varD=vid) for k in range(N)]
+    return PBWT.from_haplotypes(X, chrom="1", sites=[t.copy() for t in s])
+
+
+def test_long_within_parity():
+    from pbwt_tpu.algos import match as matchmod
+    X = mosaic(1, 60, 150)
+    p = _mk(X)
+    assert native.get_lib() is not None
+    rows_c, rows_py = [], []
+    matchmod.match_long_within(p, 20, lambda *r: rows_c.append(r))
+    saved = native._lib
+    try:
+        native._lib = None
+        matchmod.match_long_within(p, 20, lambda *r: rows_py.append(r))
+    finally:
+        native._lib = saved
+    assert rows_c == rows_py and rows_c
+
+
+def test_paint_parity(tmp_path, monkeypatch):
+    from pbwt_tpu.algos import paint
+    X = mosaic(2, 48, 160)
+    p = _mk(X)
+    monkeypatch.chdir(tmp_path)
+    paint.paint_ancestry_matrix(p, "c_out")
+    saved = native._lib
+    try:
+        native._lib = None
+        paint.paint_ancestry_matrix(p, "py_out")
+    finally:
+        native._lib = saved
+    for sfx in ("chunkcounts.out", "chunklengths.out",
+                "regionsquaredchunkcounts.out", "regionchunkcounts.out"):
+        assert ((tmp_path / f"c_out.{sfx}").read_text()
+                == (tmp_path / f"py_out.{sfx}").read_text()), sfx
+
+
+def test_impute_vote_parity():
+    from pbwt_tpu.algos import impute as himp
+    rng = np.random.RandomState(3)
+    N = 140
+    Xref = mosaic(4, 40, N)
+    Xq = mosaic(5, 6, N)
+    frame_idx = np.sort(rng.choice(N, N // 2, replace=False))
+    vid = registry.variation("A", "C")
+    sites = [Site(x=100 + 7 * i, varD=vid) for i in range(N)]
+
+    def build():
+        p_ref = PBWT.from_haplotypes(Xref, chrom="1",
+                                     sites=[s.copy() for s in sites])
+        p_frame = PBWT.from_haplotypes(
+            Xref[:, frame_idx], chrom="1",
+            sites=[sites[i].copy() for i in frame_idx])
+        p_old = PBWT.from_haplotypes(
+            Xq[:, frame_idx], chrom="1",
+            sites=[sites[i].copy() for i in frame_idx])
+        return p_old, p_ref, p_frame
+
+    p_old, p_ref, p_frame = build()
+    hc = himp.reference_impute3(p_old, p_ref, p_frame)
+    saved = native._lib
+    try:
+        native._lib = None
+        p_old, p_ref, p_frame = build()
+        hp = himp.reference_impute3(p_old, p_ref, p_frame)
+    finally:
+        native._lib = saved
+    assert np.array_equal(hc.haplotypes(), hp.haplotypes())
+    assert hc.zDosage == hp.zDosage
+
+
+def test_phase_resolve_parity():
+    from pbwt_tpu.algos import phase as ph
+    X = mosaic(6, 40, 120)
+    p = _mk(X)
+    pc = ph.phase(p, 4)
+    saved = native._lib
+    try:
+        native._lib = None
+        p2 = _mk(X)
+        pp_ = ph.phase(p2, 4)
+    finally:
+        native._lib = saved
+    assert np.array_equal(pc.haplotypes(), pp_.haplotypes())
+
+
+def test_phase_stop_max_parity():
+    from pbwt_tpu.algos.phase import _prefix_stop_max, _suffix_stop_max
+    lib = native.get_lib()
+    assert lib is not None
+    rng = np.random.RandomState(7)
+    M = 257
+    d = rng.randint(0, 50, size=M + 1).astype(np.int32)
+    y = rng.randint(0, 2, size=M).astype(np.uint8)
+    for x in (0, 1):
+        bp = np.empty(M + 1, np.int64)
+        bm = np.empty(M + 1, np.int64)
+        lib.phase_stop_max(np.ascontiguousarray(d), y, x, M, bp, bm)
+        assert np.array_equal(bp, _suffix_stop_max(d, y, x, M))
+        assert np.array_equal(bm, _prefix_stop_max(d, y, x, M))
