@@ -210,6 +210,52 @@ EXPORT long expand_records(const uint8_t *Ybits, long stride, long M, long N,
     return nrows;
 }
 
+/* VCF sample-column parser: scan the tab-separated sample fields of one
+   record, extracting up to two GT alleles per sample from subfield gti.
+   out (2*nsamp int8): allele index, -1 = missing ('.'), second = -2 when
+   the sample is haploid. Returns samples parsed, or -1 on malformed
+   input. */
+EXPORT long vcf_parse_gt(const char *s, long len, long gti, long nsamp,
+                         int8_t *out)
+{
+    const char *p = s, *end = s + len;
+    long ns = 0;
+    while (ns < nsamp) {
+        /* skip to subfield gti within this sample field */
+        long sub = 0;
+        while (sub < gti) {
+            while (p < end && *p != ':' && *p != '\t') ++p;
+            if (p >= end || *p == '\t') return -1;
+            ++p; ++sub;
+        }
+        int8_t *o = out + 2 * ns;
+        o[0] = -1; o[1] = -2;
+        for (int h = 0; h < 2; ++h) {
+            if (p < end && *p == '.') {
+                o[h] = -1; ++p;
+            } else {
+                long v = -1;
+                while (p < end && *p >= '0' && *p <= '9') {
+                    if (v < 0) v = 0;
+                    v = v * 10 + (*p - '0');
+                    ++p;
+                }
+                if (v >= 0) o[h] = (int8_t)(v > 127 ? 127 : v);
+                else if (h == 0) o[0] = -1;   /* empty GT == missing */
+            }
+            if (p < end && (*p == '|' || *p == '/')) {
+                if (h == 0) { o[1] = -1; ++p; }   /* diploid: parse 2nd */
+            } else break;
+        }
+        /* skip trailing alleles (>2) and remaining subfields */
+        while (p < end && *p != '\t') ++p;
+        ++ns;
+        if (p < end) ++p;              /* consume the tab */
+        else break;
+    }
+    return ns;
+}
+
 /* phaseSweep het resolution (pbwtImpute.c:288-372): iterative
    Gauss-Seidel passes over sample pairs scoring sort-order neighbours
    in ncur cursors (score0), threshold decay, then the length-weighted

@@ -81,6 +81,9 @@ def get_lib():
     lib.expand_records.argtypes = [u8p, L, L, L, i64p, i32p, i32p, i32p,
                                    i32p, i32p, L]
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.vcf_parse_gt.restype = L
+    lib.vcf_parse_gt.argtypes = [ctypes.c_char_p, L, L, L, i8p]
     lib.phase_resolve.restype = None
     lib.phase_resolve.argtypes = [f64p, L, L, L, i32p, i32p, f64p, f64p,
                                   ctypes.c_double]

@@ -15,7 +15,7 @@ import sys
 import numpy as np
 
 from .. import version as _ver
-from ..core import engine, pack3 as p3, registry
+from ..core import engine, native, pack3 as p3, registry
 from ..core.pbwt import PBWT, Site
 from ..utils import log
 
@@ -79,8 +79,10 @@ def _parse_vcf_text(raw):
                 parts = line.split("\t")
                 sample_names.extend(parts[9:])
                 continue
-            f = line.split("\t")
-            yield f
+            # split only the 9 fixed columns; the sample blob stays one
+            # string for the native GT parser (list-typed records keep the
+            # portable per-sample path)
+            yield line.split("\t", 9)
 
     it = records()
     # consume up to first data record so sample_names is populated
@@ -125,43 +127,73 @@ def _build_from_records(filename: str, sample_names, records) -> PBWT:
         if "GT" not in fmt:
             continue
         gti = fmt.index("GT")
-        gts = [s.split(":")[gti] if s != "." else "." for s in f[9:]]
-        # parse allele lists; haploid samples have one allele
-        alleles: list[list[int | None]] = []
-        for g in gts:
-            vals: list[int | None] = []
-            for tok in g.replace("|", "/").split("/"):
-                vals.append(None if tok in (".", "") else int(tok))
-            alleles.append(vals)
-        ngt = sum(len(v) for v in alleles)
-        max_ploidy = max((len(v) for v in alleles), default=0)
-        if ngt != p.M and p.M != 2 * ngt and not (max_ploidy == 2):
-            raise ValueError(f"{ngt} != {p.M} GT values at {chrom}:{pos} - "
-                             "not haploid or diploid?")
-        x = np.zeros(p.M, dtype=np.int32)
-        xmiss = np.zeros(p.M, dtype=np.uint8)
-        was_missing = n_missing
-        if max_ploidy == 1:   # all haploid: duplicate (pbwtHtslib.c:91-106)
-            for i, v in enumerate(alleles):
-                if v[0] is None:
-                    xmiss[2 * i] = xmiss[2 * i + 1] = 1
-                    n_missing += 2
-                else:
-                    x[2 * i] = x[2 * i + 1] = v[0]
+        parsed = None
+        if len(f) == 10 and len(sample_names) > 0:
+            lib = native.get_lib()
+            if lib is not None:
+                nsamp = len(sample_names)
+                blob = f[9].encode()
+                av = np.empty(2 * nsamp, np.int8)
+                ns = lib.vcf_parse_gt(blob, len(blob), gti, nsamp, av)
+                if ns == nsamp:
+                    parsed = av.reshape(nsamp, 2)
+        if parsed is not None:
+            a0 = parsed[:, 0].astype(np.int32)
+            a1 = parsed[:, 1].astype(np.int32)
+            hap = parsed[:, 1] == -2           # haploid samples
+            x = np.zeros(p.M, dtype=np.int32)
+            xmiss = np.zeros(p.M, dtype=np.uint8)
+            was_missing = n_missing
+            if hap.all():                       # pbwtHtslib.c:91-106
+                x[0::2] = x[1::2] = np.maximum(a0, 0)
+                xmiss[0::2] = xmiss[1::2] = a0 < 0
+            else:
+                a1 = np.where(hap, -1, a1)      # mixed-ploidy: pad missing
+                x[0::2] = np.maximum(a0, 0)
+                x[1::2] = np.maximum(a1, 0)
+                xmiss[0::2] = a0 < 0
+                xmiss[1::2] = a1 < 0
+            n_missing += int(xmiss.sum())
         else:
-            # htslib pads haploid GTs in mixed-ploidy records with
-            # bcf_gt_missing, which pbwtReadVcfGT records as ref + missing
-            # (observed behaviour of the reference on test/read.vcf)
-            j = 0
-            for v in alleles:
-                padded = list(v) + [None] * (2 - len(v))
-                for tok in padded[:2]:
-                    if tok is None:
-                        xmiss[j] = 1
-                        n_missing += 1
+            sample_fields = (f[9].split("\t") if len(f) == 10 else f[9:])
+            gts = [s.split(":")[gti] if s != "." else "."
+                   for s in sample_fields]
+            # parse allele lists; haploid samples have one allele
+            alleles: list[list[int | None]] = []
+            for g in gts:
+                vals: list[int | None] = []
+                for tok in g.replace("|", "/").split("/"):
+                    vals.append(None if tok in (".", "") else int(tok))
+                alleles.append(vals)
+            ngt = sum(len(v) for v in alleles)
+            max_ploidy = max((len(v) for v in alleles), default=0)
+            if ngt != p.M and p.M != 2 * ngt and not (max_ploidy == 2):
+                raise ValueError(f"{ngt} != {p.M} GT values at {chrom}:{pos}"
+                                 " - not haploid or diploid?")
+            x = np.zeros(p.M, dtype=np.int32)
+            xmiss = np.zeros(p.M, dtype=np.uint8)
+            was_missing = n_missing
+            if max_ploidy == 1:   # all haploid: duplicate
+                for i, v in enumerate(alleles):
+                    if v[0] is None:
+                        xmiss[2 * i] = xmiss[2 * i + 1] = 1
+                        n_missing += 2
                     else:
-                        x[j] = tok
-                    j += 1
+                        x[2 * i] = x[2 * i + 1] = v[0]
+            else:
+                # htslib pads haploid GTs in mixed-ploidy records with
+                # bcf_gt_missing, which pbwtReadVcfGT records as ref +
+                # missing (observed on test/read.vcf)
+                j = 0
+                for v in alleles:
+                    padded = list(v) + [None] * (2 - len(v))
+                    for tok in padded[:2]:
+                        if tok is None:
+                            xmiss[j] = 1
+                            n_missing += 1
+                        else:
+                            x[j] = tok
+                        j += 1
 
         no_alt = alt_field == "." or alt_field == ""
         alts = ["."] if no_alt else [a.upper() for a in alt_field.split(",")]
@@ -325,10 +357,11 @@ def format_records(p: PBWT):
         alt = als[1] if len(als) > 1 else "."
         ac = int(np.minimum(hap, 1).sum())
         an = p.M
-        gt_strs = []
         sep2 = "/" if p.isUnphased else "|"
-        for j in range(0, p.M, 2):
-            gt_strs.append(f"{hap[j]}{sep2}{hap[j + 1]}")
+        # alleles are biallelic 0/1: build GT strings by table lookup
+        lut = [f"0{sep2}0", f"0{sep2}1", f"1{sep2}0", f"1{sep2}1"]
+        code = (hap[0::2].astype(np.int32) * 2 + hap[1::2]).tolist()
+        gt_strs = [lut[c] for c in code]
         info_parts = []
         if p.isRefFreq:
             info_parts.append(f"RefPanelAF={_fmt_float(s.refFreq)}")
