@@ -290,9 +290,31 @@ def match_sequences_naive(p: PBWT, q: PBWT, report=report_match_stdout) -> None:
 
 def match_sequences_indexed(p: PBWT, q: PBWT, report=report_match_stdout) -> None:
     """Algorithm 5 with materialised a/d/u indexes (matchSequencesIndexed,
-    pbwtMatch.c:255-340).  O(N(M+Q)) time, ~13NM bytes memory."""
+    pbwtMatch.c:255-340).  O(N(M+Q)) time, ~13NM bytes memory.
+
+    With PBWT_TPU_DEVICE=1 on a TPU backend, the state evolution runs on
+    the device (ops/match_jax, the divergence Pallas kernel); reports are
+    re-sorted into this function's (query, site) order, so output is
+    identical."""
     if q.N != p.N:
         raise ValueError(f"query length {q.N} != PBWT length {p.N}")
+    import os
+    if os.environ.get("PBWT_TPU_DEVICE") and p.M > 512:
+        import jax
+        if jax.default_backend() == "tpu":
+            from ..ops import enable_compilation_cache, match_jax
+            enable_compilation_cache()
+            rows = match_jax.match_queries_device(p.haplotypes(),
+                                                  q.haplotypes())
+            rows.sort(key=lambda r: (r[0], r[3]))
+            events = {(r[0], r[2], r[3]) for r in rows}
+            for jq, hap, e, k in rows:
+                report(jq, hap, e, k)
+            n_tot = max(len(events), 1)
+            tot_len = sum(k - e for (_, e, k) in events)
+            log(f"Average number of best matches {n_tot / q.M:.1f}, "
+                f"Average length {tot_len / n_tot:.1f}")
+            return
     query = q.haplotypes()
     reference = p.haplotypes()
     N, M = p.N, p.M

@@ -270,7 +270,8 @@ def build_pbwt_device(X: np.ndarray, multiple: int = 256):
     a0 = jnp.arange(Mp, dtype=jnp.int32)
     W = jnp.asarray(pack_group_words(cols))
     if use_pallas:
-        from . import partition_pallas as pp
+        from . import enable_compilation_cache, partition_pallas as pp
+        enable_compilation_cache()
         ywords, counts, a_end = pp.build_scan_pallas_noa(W, a0)
         Ysort = pp.unpack_sitewords_host(np.asarray(ywords[:N]), M)
         counts = counts[:N]
