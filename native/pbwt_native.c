@@ -374,6 +374,64 @@ EXPORT void paint_accumulate(const int32_t *seg_j, const int32_t *seg_s,
     }
 }
 
+/* paintAncestryMatrixSparse per-individual accumulation
+   (pbwtPaint.c:211-328): like paint_accumulate but over one recipient
+   individual's haplotypes [i0, i1) with a match-length cutoff, nonzero-
+   entry region flushes and the per-site indsum counter used for the
+   SparsePainter length normalisation. */
+EXPORT void paint_sparse_ind(const int32_t *seg_j, const int32_t *seg_s,
+                             const int32_t *seg_e, const int64_t *seg_off,
+                             long i0, long i1, long N, long n_inds,
+                             long ploidy, long chunksperregion,
+                             double cutoff,
+                             double *t_counts, double *t_counts2,
+                             double *t_counts3, double *t_totlengths,
+                             double *nregions_me, double *part,
+                             double *indsum)
+{
+    long me = i0 / ploidy;
+    for (long i = i0; i < i1; ++i) {
+        long lo = seg_off[i], hi = seg_off[i + 1];
+        if (lo >= hi) continue;
+        long m1 = lo, n1 = 1, m_stop = hi - 1;
+        for (long k = 1; k < N; ++k) {
+            while (seg_e[m1] <= k && m1 < m_stop) {
+                if (n1 % chunksperregion == 0) {
+                    for (long j = 0; j < n_inds; ++j) {
+                        if (j == me || part[j] == 0.0) continue;
+                        t_counts2[j] += part[j] * part[j];
+                        t_counts3[j] += part[j];
+                    }
+                    for (long j = 0; j < n_inds; ++j) part[j] = 0.0;
+                    *nregions_me += 1.0;
+                }
+                ++m1; ++n1;
+            }
+            double ssum = 0.0;
+            for (long m = m1; m <= m_stop && seg_s[m] < k; ++m) {
+                if (seg_j[m] / ploidy != me
+                        && (double)(seg_e[m] - seg_s[m]) > cutoff) {
+                    ssum += (double)(k - seg_s[m])
+                            * (double)(seg_e[m] - k);
+                }
+            }
+            if (ssum == 0.0) continue;
+            for (long m = m1; m <= m_stop && seg_s[m] < k; ++m) {
+                long ind = seg_j[m] / ploidy;
+                if (ind == me) continue;
+                if ((double)(seg_e[m] - seg_s[m]) <= cutoff) continue;
+                double w = (double)(k - seg_s[m])
+                           * (double)(seg_e[m] - k) / ssum;
+                t_totlengths[ind] += w;
+                double thiscount = w / (double)(seg_e[m] - seg_s[m]);
+                t_counts[ind] += thiscount;
+                part[ind] += thiscount;
+            }
+            *indsum += 1.0;
+        }
+    }
+}
+
 /* referenceImpute3 weighted vote (pbwtImpute.c:1204-1232): per reference
    site and target haplotype, the positionally weighted allele vote over
    covering maximal-match segments, with the reference's segment-window

@@ -24,6 +24,33 @@ def _collect_matches(p: PBWT):
     return max_match
 
 
+def _collect_match_arrays(p: PBWT):
+    """Flattened per-hap match segments (seg_j, seg_s, seg_e, seg_off) in
+    the reference's per-recipient report order, without Python lists."""
+    from ..core import native
+    a0 = (p.aFstart if p.aFstart is not None
+          else np.arange(p.M, dtype=np.int32))
+    rows = native.max_within(p.decoded(True), a0)
+    if rows is None:
+        mm = _collect_matches(p)
+        segs = [(j, jr, s, e) for j, lst in enumerate(mm)
+                for (jr, s, e) in lst]
+        rows = (np.asarray(segs, np.int64) if segs
+                else np.zeros((0, 4), np.int64))
+    else:
+        rows = rows[:, [0, 1, 2, 3]]
+    order = np.argsort(rows[:, 0], kind="stable")
+    rows = rows[order]
+    counts = np.bincount(rows[:, 0], minlength=p.M) if len(rows) \
+        else np.zeros(p.M, np.int64)
+    seg_off = np.zeros(p.M + 1, np.int64)
+    np.cumsum(counts, out=seg_off[1:])
+    return (np.ascontiguousarray(rows[:, 1], np.int32),
+            np.ascontiguousarray(rows[:, 2], np.int32),
+            np.ascontiguousarray(rows[:, 3], np.int32),
+            seg_off)
+
+
 def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
                           ploidy: int = 2, outputlocal: int = 0) -> None:
     """paintAncestryMatrix (pbwtPaint.c:56-209)."""
@@ -35,7 +62,6 @@ def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
     totlengths = np.zeros((n_inds, n_inds))
     nregions = np.zeros(n_inds)
     tot_counts = np.zeros(n_inds)
-    max_match = _collect_matches(p)
     part_counts = np.zeros(n_inds)
 
     flp = None
@@ -47,19 +73,14 @@ def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
     from ..core import native
     lib = native.get_lib()
     if lib is not None and not outputlocal:
-        segs = [(j, s, e) for mm in max_match for (j, s, e) in mm]
-        seg_arr = (np.asarray(segs, np.int64) if segs
-                   else np.zeros((0, 3), np.int64))
-        seg_off = np.zeros(p.M + 1, np.int64)
-        np.cumsum([len(mm) for mm in max_match], out=seg_off[1:])
+        sj, ss, se, seg_off = _collect_match_arrays(p)
         lib.paint_accumulate(
-            np.ascontiguousarray(seg_arr[:, 0], np.int32),
-            np.ascontiguousarray(seg_arr[:, 1], np.int32),
-            np.ascontiguousarray(seg_arr[:, 2], np.int32),
+            sj, ss, se,
             seg_off, p.M, p.N, n_inds, ploidy, chunksperregion, -1.0,
             counts.reshape(-1), counts2.reshape(-1), counts3.reshape(-1),
             totlengths.reshape(-1), nregions, part_counts)
     else:
+        max_match = _collect_matches(p)
         for i in range(p.M):
             if outputlocal:
                 localsum = np.zeros((n_inds, p.N))
@@ -155,22 +176,31 @@ def paint_ancestry_matrix_sparse(p: PBWT, file_root: str,
     map_ih = np.arange(p.M) // ploidy
     nregions = np.zeros(n_inds)
 
-    fr = gzip.open(f"{file_root}.nregions.s.out.gz", "wt")
-    fc = gzip.open(f"{file_root}.chunkcounts.s.out.gz", "wt")
-    fl = gzip.open(f"{file_root}.chunklengths.s.out.gz", "wt")
-    fc2 = gzip.open(f"{file_root}.regionsquaredchunkcounts.s.out.gz", "wt")
-    fc3 = gzip.open(f"{file_root}.regionchunkcounts.s.out.gz", "wt")
+    # compresslevel 6 = zlib default, matching the reference's gzopen "w"
+    # (python's default level 9 is ~5x slower for these numeric tables)
+    fr = gzip.open(f"{file_root}.nregions.s.out.gz", "wt", compresslevel=6)
+    fc = gzip.open(f"{file_root}.chunkcounts.s.out.gz", "wt", compresslevel=6)
+    fl = gzip.open(f"{file_root}.chunklengths.s.out.gz", "wt",
+                   compresslevel=6)
+    fc2 = gzip.open(f"{file_root}.regionsquaredchunkcounts.s.out.gz", "wt",
+                    compresslevel=6)
+    fc3 = gzip.open(f"{file_root}.regionchunkcounts.s.out.gz", "wt",
+                    compresslevel=6)
 
     def print_all(ii, t_counts, t_counts2, t_counts3, t_totlengths, nreg):
-        for jj in range(n_inds):
-            if t_counts[jj]:
-                fc.write(f"{ii + 1} {jj + 1} {t_counts[jj]:.4f}\n")
-                fl.write(f"{ii + 1} {jj + 1} {t_totlengths[jj]:.4f}\n")
-                fc2.write(f"{ii + 1} {jj + 1} {t_counts2[jj]:.4f}\n")
-                fc3.write(f"{ii + 1} {jj + 1} {t_counts3[jj]:.4f}\n")
+        nz = np.flatnonzero(t_counts)
+        if len(nz):
+            i1 = ii + 1
+            fc.write("".join(f"{i1} {j + 1} {t_counts[j]:.4f}\n"
+                             for j in nz))
+            fl.write("".join(f"{i1} {j + 1} {t_totlengths[j]:.4f}\n"
+                             for j in nz))
+            fc2.write("".join(f"{i1} {j + 1} {t_counts2[j]:.4f}\n"
+                              for j in nz))
+            fc3.write("".join(f"{i1} {j + 1} {t_counts3[j]:.4f}\n"
+                              for j in nz))
         fr.write(f"{ii + 1} {nreg:.2f}\n")
 
-    max_match = _collect_matches(p)
     part_counts = np.zeros(n_inds)
     t_counts = np.zeros(n_inds)
     t_counts2 = np.zeros(n_inds)
@@ -178,6 +208,37 @@ def paint_ancestry_matrix_sparse(p: PBWT, file_root: str,
     t_totlengths = np.zeros(n_inds)
     indsum = 0.0
 
+    from ..core import native
+    lib = native.get_lib()
+    if lib is not None:
+        sj, ss, se, seg_off = _collect_match_arrays(p)
+        nreg1 = np.zeros(1)
+        ind1 = np.zeros(1)
+        for ii in range(n_inds):
+            part_counts[:] = 0.0
+            t_counts[:] = 0.0
+            t_counts2[:] = 0.0
+            t_counts3[:] = 0.0
+            t_totlengths[:] = 0.0
+            nreg1[0] = 0.0
+            ind1[0] = 0.0
+            lib.paint_sparse_ind(sj, ss, se, seg_off, ii * ploidy,
+                                 (ii + 1) * ploidy, p.N, n_inds, ploidy,
+                                 chunksperregion, float(cutoff),
+                                 t_counts, t_counts2, t_counts3,
+                                 t_totlengths, nreg1, part_counts, ind1)
+            nregions[ii] = nreg1[0]
+            nz = t_totlengths != 0
+            if ind1[0]:
+                t_totlengths[nz] = (t_totlengths[nz] / ind1[0]
+                                    * p.N * ploidy)
+            print_all(ii, t_counts, t_counts2, t_counts3, t_totlengths,
+                      nregions[ii])
+        for f in (fc, fl, fc2, fc3, fr):
+            f.close()
+        return
+
+    max_match = _collect_matches(p)
     for i in range(p.M):
         mm = max_match[i]
         if not mm:

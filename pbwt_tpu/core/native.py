@@ -91,6 +91,10 @@ def get_lib():
     lib.paint_accumulate.argtypes = [i32p, i32p, i32p, i64p, L, L, L, L, L,
                                      ctypes.c_double, f64p, f64p, f64p,
                                      f64p, f64p, f64p]
+    lib.paint_sparse_ind.restype = None
+    lib.paint_sparse_ind.argtypes = [i32p, i32p, i32p, i64p, L, L, L, L, L,
+                                     L, ctypes.c_double, f64p, f64p, f64p,
+                                     f64p, f64p, f64p, f64p]
     lib.impute_vote.restype = None
     lib.impute_vote.argtypes = [i32p, i32p, i32p, i64p, i32p, L, L, u8p, L,
                                 i64p, f64p, u8p, f64p, u8p, f64p, f64p,
