@@ -234,7 +234,20 @@ def fit_alpha_beta(p: PBWT, model: int) -> None:
 def copy_log_likelihood_drop_one(p: PBWT, theta: float, rho: float) -> float:
     """Li-Stephens leave-one-out likelihood, O(NM^2)
     (copyLogLikelihoodDropOne, pbwtLikelihood.c:380-420), vectorised over the
-    (i, j) copy matrix."""
+    (i, j) copy matrix.
+
+    With PBWT_TPU_DEVICE=1 on a TPU backend the fused Pallas kernel in
+    ops/likelihood_jax carries the copy matrix on device (this is the
+    reference's "explicitly slow path" and the biggest single win from
+    the MXU)."""
+    import os
+    if os.environ.get("PBWT_TPU_DEVICE"):
+        import jax
+        if jax.default_backend() == "tpu":
+            from ..ops import enable_compilation_cache
+            from ..ops.likelihood_jax import copy_ll_device
+            enable_compilation_cache()
+            return float(copy_ll_device(p.haplotypes(), theta, rho))
     M = p.M
     X = p.haplotypes()
     left = np.full((M, M), 1.0 / (M - 1.0))
