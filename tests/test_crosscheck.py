@@ -155,6 +155,44 @@ def test_match_and_impute_pipeline(ref_bin, data_dir):
     assert open(f"{d}/rd.bin", "rb").read() == open(f"{d}/od.bin", "rb").read()
 
 
+def test_text_format_roundtrips_identical(ref_bin, data_dir):
+    """gen/hap/impute2/PHASE exporters and re-importers vs the reference
+    binary (writers produce identical bytes; readers rebuild identical
+    haplotype matrices)."""
+    d = data_dir
+    base = ["-readVcfq", "big.tab"]
+    # exporters: byte-identical output files
+    for args, outs in [
+        (base + ["-writeGen", "rg.gen"], ["rg.gen"]),
+        (base + ["-haps", "rh.hap"], ["rh.hap"]),
+        (base + ["-writeImputeRef", "rimp"],
+         ["rimp.imputeHaps", "rimp.imputeLegend"]),
+        (base + ["-writeImputeHapsG", "rg2.hapsg"], ["rg2.hapsg"]),
+        (base + ["-writePhase", "rp.phase"], ["rp.phase"]),
+    ]:
+        run_ref(ref_bin, args, d)
+        ref_outs = {o: open(f"{d}/{o}", "rb").read() for o in outs}
+        run_ours(args, d)
+        for o in outs:
+            assert open(f"{d}/{o}", "rb").read() == ref_outs[o], o
+    # importers: identical -haps output when re-reading what we wrote
+    for args in [
+        ["-readGen", "rg.gen", "7", "-haps", "-"],
+        ["-readPhase", "rp.phase", "-haps", "-"],
+    ]:
+        assert run_ref(ref_bin, args, d) == run_ours(args, d), args[0]
+
+
+def test_genotype_compare_identical(ref_bin, data_dir):
+    d = data_dir
+    run_ref(ref_bin, ["-readVcfq", "big.tab", "-writeAll", "gcbase"], d)
+    # compare a corrupted copy against the original: corruption must be
+    # deterministic and shared, so corrupt by site subsetting instead
+    a = ["-readAll", "gcbase", "-selectSites", "gcbase.sites",
+         "-genotypeCompare", "gcbase"]
+    assert run_ref(ref_bin, a, d) == run_ours(a, d)
+
+
 def test_paint_outputs_identical(ref_bin, data_dir):
     d = data_dir
     run_ref(ref_bin, ["-readMacs", "sim.macs", "-subsample", "0", "30",
