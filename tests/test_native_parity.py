@@ -11,6 +11,10 @@ from pbwt_tpu.core import native, registry
 from pbwt_tpu.core.pbwt import PBWT, Site
 
 
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native library unavailable")
+
+
 def mosaic(seed, M, N, founders=10, err=0.01):
     rng = np.random.RandomState(seed)
     F = (rng.random_sample((founders, N)) < 0.4).astype(np.uint8)
