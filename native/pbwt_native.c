@@ -702,6 +702,8 @@ EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
 {
     int32_t *ap = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *dp = (int32_t *)calloc(M + 1, sizeof(int32_t));
+    int32_t *ap2 = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *dp2 = (int32_t *)calloc(M + 1, sizeof(int32_t));
     int32_t *aq = (int32_t *)malloc(Q * sizeof(int32_t));
     int32_t *ones = (int32_t *)malloc((M > Q ? M : Q) * sizeof(int32_t));
     int32_t *dones = (int32_t *)malloc((M + 1) * sizeof(int32_t));
@@ -765,19 +767,36 @@ EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
                 }
             }
         }
-        /* FM-step all query pointers */
+        /* fused pass: FM rank table + panel a/d partition (ping-pong
+           buffers; one read of yp, no copy-back) */
         {
-            long c = 0;
-            for (long i = 0; i < M; ++i) { u[i] = (int32_t)c; if (yp[i] == 0) ++c; }
-            u[M] = (int32_t)c;
+            long c0 = 0, v = 0;
+            int32_t pmax = (int32_t)kk + 1, qmax = (int32_t)kk + 1;
+            for (long i = 0; i < M; ++i) {
+                u[i] = (int32_t)c0;
+                int32_t di = dp[i];
+                if (di > pmax) pmax = di;
+                if (di > qmax) qmax = di;
+                if (yp[i] == 0) {
+                    ap2[c0] = ap[i]; dp2[c0] = pmax; ++c0; pmax = 0;
+                } else {
+                    ones[v] = ap[i]; dones[v] = qmax; ++v; qmax = 0;
+                }
+            }
+            u[M] = (int32_t)c0;
+            memcpy(ap2 + c0, ones, v * sizeof(int32_t));
+            memcpy(dp2 + c0, dones, v * sizeof(int32_t));
+            dp2[0] = (int32_t)kk + 2;
+            dp2[M] = (int32_t)kk + 2;
+            { int32_t *t = ap; ap = ap2; ap2 = t; }
+            { int32_t *t = dp; dp = dp2; dp2 = t; }
             for (long j = 0; j < Q; ++j) {
                 long jj = aq[j];
                 long fj = f[jj];
-                f[jj] = yq[j] ? c + fj - u[fj] : u[fj];
+                f[jj] = yq[j] ? c0 + fj - u[fj] : u[fj];
                 if (f[jj] == M) f[jj] = 0;
             }
         }
-        fwd_ad(ap, dp, yp, ones, dones, M, (int32_t)kk);
         fwd_a(aq, yq, ones, Q);
     }
     for (long j = 0; j < Q; ++j) {
@@ -787,7 +806,8 @@ EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
             REPORT(jj, ap[i], dq[jj], N);
     }
 #undef REPORT
-    free(ap); free(dp); free(aq); free(ones); free(dones); free(u);
+    free(ap); free(dp); free(ap2); free(dp2);
+    free(aq); free(ones); free(dones); free(u);
     free(f); free(dq);
     return nrep;
 }
