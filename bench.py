@@ -43,7 +43,9 @@ def main():
         from pbwt_tpu.ops import partition_pallas as pp
 
         def run():
-            out = pp.build_scan_pallas_noa(w_dev, a0)
+            out = (pp.build_scan_pallas_noa64(w_dev, a0)
+                   if w_dev.shape[0] % 2 == 0
+                   else pp.build_scan_pallas_noa(w_dev, a0))
             # force real execution: block_until_ready is unreliable on
             # tunneled backends, so fetch the final prefix array and counts
             return np.asarray(out[2]), np.asarray(out[1])

@@ -272,7 +272,10 @@ def build_pbwt_device(X: np.ndarray, multiple: int = 256):
     if use_pallas:
         from . import enable_compilation_cache, partition_pallas as pp
         enable_compilation_cache()
-        ywords, counts, a_end = pp.build_scan_pallas_noa(W, a0)
+        if W.shape[0] % 2 == 0:
+            ywords, counts, a_end = pp.build_scan_pallas_noa64(W, a0)
+        else:
+            ywords, counts, a_end = pp.build_scan_pallas_noa(W, a0)
         Ysort = pp.unpack_sitewords_host(np.asarray(ywords[:N]), M)
         counts = counts[:N]
     else:

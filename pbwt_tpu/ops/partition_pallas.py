@@ -477,6 +477,86 @@ def build_scan_pallas_noa(W: jnp.ndarray, a0: jnp.ndarray, interpret=False):
             counts.reshape(Ng * GROUP), a_end)
 
 
+def _make_group_kernel_noa2(R):
+    """Two-word variant: partitions by bits of w0 while carrying w1 along
+    (used for the first half of a 64-site group; the second half runs the
+    single-word kernel on w1)."""
+    Rw = R // GROUP
+
+    def kernel(w0_ref, w1_ref, w0_out, w1_out, y_out, cnt_out):
+        consts = _rank_consts(R)
+
+        def site_step(s, carry):
+            w0, w1 = carry
+            key = jax.lax.shift_right_logical(w0, s) & 1
+            x = key
+            for sh in (1, 2, 4, 8, 16):
+                x = x | (pltpu.roll(x, R - sh, axis=0) << sh)
+            for q in range(Rw):
+                y_out[pl.ds(s, 1), q, :] = x[GROUP * q:GROUP * q + 1, :]
+            (w0, w1), cfull = _partition_planes([w0, w1], key, consts)
+            cnt_out[s] = cfull[0, 0]
+            return w0, w1
+
+        w0, w1 = jax.lax.fori_loop(0, GROUP, site_step,
+                                   (w0_ref[:], w1_ref[:]))
+        w0_out[:] = w0
+        w1_out[:] = w1
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def group_partition_noa2(w0, w1, interpret=False):
+    R = w0.shape[0]
+    return pl.pallas_call(
+        _make_group_kernel_noa2(R),
+        out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((GROUP, R // GROUP, L), jnp.int32),
+                   jax.ShapeDtypeStruct((GROUP,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w0, w1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def build_scan_pallas_noa64(W: jnp.ndarray, a0: jnp.ndarray,
+                            interpret=False):
+    """64-site-group variant: both group words are aligned with one
+    two-payload sort-gather and `a` advances with one stable two-key sort
+    per 64 sites (LSD-radix identity over both words), halving the
+    XLA-side sort overhead per site. Requires an even word count."""
+    Ng, Mp = W.shape
+    assert Ng % 2 == 0
+    R = Mp // L
+    iota = jnp.arange(Mp, dtype=jnp.int32)
+    Wp = W.reshape(Ng // 2, 2, Mp)
+
+    def group_step(a, w_nat2):
+        _, inv = jax.lax.sort((a, iota), num_keys=1, is_stable=True)
+        _, w0, w1 = jax.lax.sort((inv, w_nat2[0], w_nat2[1]), num_keys=1,
+                                 is_stable=True)
+        _, w1b, yw0, c0 = group_partition_noa2(
+            w0.reshape(R, L), w1.reshape(R, L), interpret=interpret)
+        _, yw1, c1 = group_partition_noa(w1b, interpret=interpret)
+        k1 = jax.lax.bitcast_convert_type(w1, jnp.uint32)
+        k0 = jax.lax.bitcast_convert_type(w0, jnp.uint32)
+        _, _, a_n = jax.lax.sort((k1, k0, a), num_keys=2, is_stable=True)
+        return a_n, (jnp.concatenate([yw0, yw1]),
+                     jnp.concatenate([c0, c1]))
+
+    a_end, (ywords, counts) = jax.lax.scan(group_step, a0, Wp)
+    return (ywords.reshape(Ng * GROUP, R // GROUP, L),
+            counts.reshape(Ng * GROUP), a_end)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 

@@ -26,17 +26,19 @@ def check_build():
     X = (rng.random_sample((N, M)) < freqs[:, None]).astype(np.uint8)
     W = jnp.asarray(dbuild.pack_group_words(X))
     a0 = jnp.arange(M, dtype=jnp.int32)
-    yw, counts, a_end = pp.build_scan_pallas_noa(W, a0)
-    ycols = pp.unpack_sitewords_host(np.asarray(yw), M)
-    counts = np.asarray(counts)
-    a = np.arange(M)
-    for k in range(N):
-        y = X[k][a]
-        assert np.array_equal(ycols[k], y), f"build ycol mismatch @{k}"
-        assert int(counts[k]) == int((y == 0).sum()), f"build count @{k}"
-        a = np.concatenate([a[y == 0], a[y == 1]])
-    assert np.array_equal(a, np.asarray(a_end)), "build a_end mismatch"
-    print("PASS build kernel chain (M=8192, N=512)")
+    for name, fn in [("noa", pp.build_scan_pallas_noa),
+                     ("noa64", pp.build_scan_pallas_noa64)]:
+        yw, counts, a_end = fn(W, a0)
+        ycols = pp.unpack_sitewords_host(np.asarray(yw), M)
+        counts = np.asarray(counts)
+        a = np.arange(M)
+        for k in range(N):
+            y = X[k][a]
+            assert np.array_equal(ycols[k], y), f"{name} ycol mismatch @{k}"
+            assert int(counts[k]) == int((y == 0).sum()), f"{name} cnt @{k}"
+            a = np.concatenate([a[y == 0], a[y == 1]])
+        assert np.array_equal(a, np.asarray(a_end)), f"{name} a_end"
+        print(f"PASS build kernel chain [{name}] (M=8192, N=512)")
 
 
 def check_ad_kernel():
