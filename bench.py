@@ -44,7 +44,7 @@ def main():
 
         def run():
             out = (pp.build_scan_pallas_noa64(w_dev, a0)
-                   if w_dev.shape[0] % 2 == 0
+                   if w_dev.shape[0] % 2 == 0 and Mp <= (1 << 19)
                    else pp.build_scan_pallas_noa(w_dev, a0))
             # force real execution: block_until_ready is unreliable on
             # tunneled backends, so fetch the final prefix array and counts

@@ -272,7 +272,8 @@ def build_pbwt_device(X: np.ndarray, multiple: int = 256):
     if use_pallas:
         from . import enable_compilation_cache, partition_pallas as pp
         enable_compilation_cache()
-        if W.shape[0] % 2 == 0:
+        # the two-word kernel carries an extra plane: VMEM-bound ~512k rows
+        if W.shape[0] % 2 == 0 and Mp <= (1 << 19):
             ywords, counts, a_end = pp.build_scan_pallas_noa64(W, a0)
         else:
             ywords, counts, a_end = pp.build_scan_pallas_noa(W, a0)
