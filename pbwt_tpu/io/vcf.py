@@ -213,9 +213,12 @@ def _build_from_records(filename: str, sample_names, records) -> PBWT:
                 from . import pbwtfile
                 p.yz = u.packed()
                 if n_missing:
+                    # leading sites before the first missing site take
+                    # implicit zeros at the FRONT (reference Array zero-fills
+                    # indices 0..N-1; pbwtHtslib.c:144 indexes by p->N)
                     p.zMissing = b"".join(missing_chunks)
                     p.missingOffset = np.array(
-                        missing_offsets + [0] * (p.N - len(missing_offsets)), np.int64)
+                        [0] * (p.N - len(missing_offsets)) + missing_offsets, np.int64)
                 pbwtfile.checkpoint(u, p)
 
     if p is None:

@@ -204,6 +204,63 @@ def test_paint_outputs_identical(ref_bin, data_dir):
         assert (open(f"{d}/refp.{t}").read() == open(f"{d}/ourp.{t}").read()), t
 
 
+def test_checkpoint_files_identical(ref_bin, data_dir, tmp_path):
+    """-checkpoint n during a text import: alternating check_A/check_B roots
+    (pbwtCheckPoint, pbwtIO.c:158-168) must match the reference's bytes."""
+    rd = tmp_path / "ref"
+    od = tmp_path / "ours"
+    rd.mkdir()
+    od.mkdir()
+    args = ["-checkpoint", "60", "-readMacs", f"{data_dir}/sim.macs",
+            "-write", "final.pbwt"]
+    run_ref(ref_bin, args, str(rd))
+    run_ours(args, str(od))
+    ref_files = sorted(f for f in os.listdir(rd) if f.startswith("check_"))
+    our_files = sorted(f for f in os.listdir(od) if f.startswith("check_"))
+    assert ref_files == our_files and ref_files
+    for f in ref_files:
+        assert (rd / f).read_bytes() == (od / f).read_bytes(), f
+    assert (rd / "final.pbwt").read_bytes() == (od / "final.pbwt").read_bytes()
+
+
+def test_checkpoint_missing_offsets(tmp_path):
+    """A checkpoint taken after the first missing genotype must write a
+    .missing sidecar whose offsets are front-padded exactly like the final
+    write (reference Array zero-fills leading sites, pbwtHtslib.c:144).
+    htslib-stubbed reference can't run VCF commands, so this is a
+    self-consistency check: checkpoint sidecars == prefix of the full import."""
+    d = tmp_path
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\tS1\tS2"]
+    rng = np.random.RandomState(3)
+    for k in range(20):
+        gts = []
+        for s in range(3):
+            # missing genotypes only from site 5 onwards
+            if k >= 5 and rng.random_sample() < 0.3:
+                gts.append(".|.")
+            else:
+                gts.append(f"{rng.randint(2)}|{rng.randint(2)}")
+        lines.append(f"1\t{1000 + 10 * k}\t.\tA\tC\t.\tPASS\t.\tGT\t"
+                     + "\t".join(gts))
+    (d / "m.vcf").write_text("\n".join(lines) + "\n")
+    run_ours(["-checkpoint", "8", "-readVcfGT", "m.vcf",
+              "-writeAll", "full"], str(d))
+    import sys
+    sys.path.insert(0, REPO)
+    from pbwt_tpu.io import pbwtfile
+    full = pbwtfile.read_all(str(d / "full"))
+    assert full.missingOffset is not None
+    for root, nc in (("check_A", 8), ("check_B", 16)):
+        chk = pbwtfile.read_all(str(d / root))
+        assert chk.N == nc
+        np.testing.assert_array_equal(chk.missingOffset,
+                                      full.missingOffset[:nc])
+        assert full.zMissing.startswith(chk.zMissing)
+        np.testing.assert_array_equal(chk.haplotypes(),
+                                      full.haplotypes()[:, :nc])
+
+
 def test_binary_roundtrip_identical(ref_bin, data_dir):
     d = data_dir
     run_ref(ref_bin, ["-readMacs", "sim.macs", "-buildReverse",
