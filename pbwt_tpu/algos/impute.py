@@ -8,7 +8,7 @@ import sys
 
 import numpy as np
 
-from ..core import engine, pack3 as p3, registry
+from ..core import crand, engine, pack3 as p3, registry
 from ..core.pbwt import PBWT, Site
 from ..utils import log, time_update
 from . import match as matchmod
@@ -552,73 +552,119 @@ def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
 # data corruption / simulation (pbwtImpute.c:1492-1619)
 # --------------------------------------------------------------------------
 
-_rng = np.random.RandomState(1)  # reference uses unseeded C rand() == srand(1)
+def _corrupt_finish(p_new: PBWT, p_old: PBWT, u_new: engine.WriteCursor) -> PBWT:
+    """Adopt sites/chrom/samples from pOld exactly as the reference transfers
+    them (pbwtImpute.c:1530-1533)."""
+    p_new.yz = u_new.packed()
+    p_new.aFend = u_new.a.copy()
+    p_new.sites = p_old.sites
+    p_new.chrom = p_old.chrom
+    return p_new
 
 
 def corrupt_sites(p_old: PBWT, p_site: float, p_change: float) -> PBWT:
+    """pbwtCorruptSites (pbwtImpute.c:1492-1537).
+
+    Bit-reproducible vs the reference binary: draws come from the glibc
+    rand() stream (unseeded == srand(1)) and corruption is applied at
+    positions in the NEW cursor's sort order, exactly as the reference's
+    ``uNew->y[i]`` loop does.
+    """
     if not p_old.yz:
         raise ValueError("corruptSites without an existing pbwt")
     if not (0 < p_site <= 1) or not (0 < p_change <= 1):
         raise ValueError(f"pSite {p_site}, pChange {p_change} out of range")
     M, N = p_old.M, p_old.N
-    Y = p_old.decoded(True)
-    X = p_old.haplotypes().copy()
+    rnd = crand.rand
+    r_site = int(p_site * crand.RAND_MAX)
+    r_change = int(p_change * crand.RAND_MAX)
+    r_fac = crand.RAND_MAX / M
+    u_old = engine.ReadCursor.create(p_old, True, True)
+    u_new = engine.WriteCursor(M)
     n_change = 0
     for k in range(N):
-        if _rng.random_sample() < p_site:
-            c = int(np.count_nonzero(Y[k] == 0))
-            mask = _rng.random_sample(M) < p_change
-            new_vals = (_rng.random_sample(M) >= c / M).astype(np.uint8)
-            old_col = X[:, k].copy()
-            X[mask, k] = new_vals[mask]
-            n_change += int((X[:, k] != old_col).sum())
-    p_new = PBWT.from_haplotypes(X, chrom=p_old.chrom, sites=p_old.sites,
-                                 samples=p_old.samples)
+        x = u_old.x_natural()
+        y = x[u_new.a]
+        if rnd() < r_site:
+            thresh = u_old.c * r_fac
+            for i in range(M):
+                if rnd() < r_change:
+                    old = y[i]
+                    y[i] = 0 if rnd() < thresh else 1
+                    if y[i] != old:
+                        n_change += 1
+        u_new.write_forwards(y)
+        u_old.forwards_read()
+    p_new = _corrupt_finish(PBWT(M, N), p_old, u_new)
+    p_new.samples = p_old.samples
     log(f"corruptSites with pSite {p_site:f}, pChange {p_change:f} changes "
         f"{n_change / (N * M):.4f} of values")
     return p_new
 
 
 def corrupt_samples(p_old: PBWT, p_sample: float, p_change: float) -> PBWT:
+    """pbwtCorruptSamples (pbwtImpute.c:1539-1584).  Note the reference's
+    isCorrupt[] is indexed by position in the new cursor's sort order, not
+    by haplotype id — reproduced as-is for bit parity."""
     if not p_old.yz:
-        raise ValueError("corruptSamples without an existing pbwt")
+        raise ValueError("corruptSites without an existing pbwt")
     if not (0 < p_sample <= 1) or not (0 < p_change <= 1):
         raise ValueError(f"pSample {p_sample}, pChange {p_change} out of range")
     M, N = p_old.M, p_old.N
-    Y = p_old.decoded(True)
-    X = p_old.haplotypes().copy()
-    is_corrupt = _rng.random_sample(M) < p_sample
+    rnd = crand.rand
+    r_sample = int(p_sample * crand.RAND_MAX)
+    r_change = int(p_change * crand.RAND_MAX)
+    r_fac = crand.RAND_MAX / M
+    u_old = engine.ReadCursor.create(p_old, True, True)
+    u_new = engine.WriteCursor(M)
+    is_corrupt = [rnd() < r_sample for _ in range(M)]
     n_change = 0
     for k in range(N):
-        c = int(np.count_nonzero(Y[k] == 0))
-        mask = is_corrupt & (_rng.random_sample(M) < p_change)
-        new_vals = (_rng.random_sample(M) >= c / M).astype(np.uint8)
-        old_col = X[:, k].copy()
-        X[mask, k] = new_vals[mask]
-        n_change += int((X[:, k] != old_col).sum())
-    p_new = PBWT.from_haplotypes(X, chrom=p_old.chrom, sites=p_old.sites,
-                                 samples=p_old.samples)
+        x = u_old.x_natural()
+        y = x[u_new.a]
+        thresh = u_old.c * r_fac
+        for i in range(M):
+            if is_corrupt[i] and rnd() < r_change:
+                v = 0 if rnd() < thresh else 1
+                if v != y[i]:
+                    n_change += 1
+                y[i] = v
+        u_new.write_forwards(y)
+        u_old.forwards_read()
+    p_new = _corrupt_finish(PBWT(M, N), p_old, u_new)
+    p_new.samples = p_old.samples
     log(f"corruptSamples with pSample {p_sample:f}, pChange {p_change:f} changes "
         f"{n_change / (N * M):.4f} of values")
     return p_new
 
 
 def copy_samples(p_old: PBWT, m_new: int, mean_length: float) -> PBWT:
-    """Li-Stephens mosaic simulator (pbwtCopySamples, pbwtImpute.c:1586-1619)."""
+    """Li-Stephens mosaic simulator (pbwtCopySamples, pbwtImpute.c:1586-1619).
+
+    The reference switches copy[j] indexed by sort-order position j but reads
+    through copy[uNew->a[j]] (natural id) — an inconsistency we reproduce for
+    bit parity.  The reference also moves the old samples array across even
+    though its length no longer matches Mnew; reproduced as-is."""
     if not p_old.yz:
         raise ValueError("copySamples called without an existing pbwt")
     if mean_length < 1.0:
         raise ValueError(f"meanLength {mean_length} must be > 1 in pbwtCopySamples")
-    X_old = p_old.haplotypes()
-    N = p_old.N
-    copy = _rng.randint(0, p_old.M, size=m_new)
-    X = np.empty((m_new, N), dtype=np.uint8)
+    M_old, N = p_old.M, p_old.N
+    rnd = crand.rand
+    r_switch = int(crand.RAND_MAX / mean_length)
+    u_old = engine.ReadCursor.create(p_old, True, True)
+    u_new = engine.WriteCursor(m_new)
+    copy = np.array([rnd() % M_old for _ in range(m_new)], dtype=np.int64)
+    y = np.empty(m_new, dtype=np.uint8)
     for k in range(N):
-        switch = _rng.random_sample(m_new) < 1.0 / mean_length
-        n_switch = int(switch.sum())
-        if n_switch:
-            copy[switch] = _rng.randint(0, p_old.M, size=n_switch)
-        X[:, k] = X_old[copy, k]
-    p_new = PBWT.from_haplotypes(X, chrom=p_old.chrom, sites=p_old.sites)
+        x_old = u_old.x_natural()
+        for j in range(m_new):
+            if rnd() < r_switch:
+                copy[j] = rnd() % M_old
+        y[:] = x_old[copy[u_new.a]]
+        u_new.write_forwards(y)
+        u_old.forwards_read()
+    p_new = _corrupt_finish(PBWT(m_new, N), p_old, u_new)
+    p_new.samples = p_old.samples
     log(f"copySamples made {m_new} samples with mean switch length {mean_length:.1f}")
     return p_new

@@ -121,6 +121,16 @@ CASES = [
     ("vcfq-ie3", ["-readVcfq", "big.tab", "-imputeExplore", "3"]),
     ("vcfq-ie4", ["-readVcfq", "big.tab", "-imputeExplore", "4"]),
     ("vcfq-check-max", ["-readVcfq", "big.tab", "-check", "-maxWithin"]),
+    # corruption/simulation: bit-reproducible via the glibc rand() stream
+    ("macs-corrupt-sites", ["-readMacs", "sim.macs", "-corruptSites",
+                            "0.3", "0.2", "-haps", "-"]),
+    ("macs-corrupt-samples", ["-readMacs", "sim.macs", "-corruptSamples",
+                              "0.25", "0.1", "-haps", "-"]),
+    ("macs-copy-samples", ["-readMacs", "sim.macs", "-copySamples",
+                           "50", "20", "-haps", "-"]),
+    ("macs-corrupt-chain", ["-readMacs", "sim.macs", "-corruptSites",
+                            "0.5", "0.1", "-corruptSamples", "0.2", "0.3",
+                            "-haps", "-"]),
 ]
 
 
