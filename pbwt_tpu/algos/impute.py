@@ -167,7 +167,10 @@ def _vote_all_sites(max_match, T: int, Xref_nat: np.ndarray,
 
 def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
                       n_sparse: int = 1, f_sparse: float = 1.0) -> PBWT:
-    log("Reference impute using maximal matches: ")
+    msg = "Reference impute using maximal matches: "
+    if n_sparse > 1:   # pbwtImpute.c:1136
+        msg += f"(nSparse = {n_sparse}, fSparse = {f_sparse:.2f}) "
+    log(msg)
     self_impute = p_old is p_frame
     max_match = _collect_matches(p_frame, p_old, self_impute)
     N_old = p_old.N

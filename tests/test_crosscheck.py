@@ -160,6 +160,10 @@ def test_match_and_impute_pipeline(ref_bin, data_dir):
     a = ["-read", "target.pbwt", "-readSites", "target.sites",
          "-referenceImpute", "panel", "-haps", "-"]
     assert run_ref(ref_bin, a, d) == run_ours(a, d)
+    # nSparse > 1 variant (logs the "(nSparse = ...)" prefix, pbwtImpute.c:1136)
+    a = ["-read", "target.pbwt", "-readSites", "target.sites",
+         "-referenceImpute", "panel", "4", "0.5", "-haps", "-"]
+    assert run_ref(ref_bin, a, d) == run_ours(a, d)
     run_ref(ref_bin, a[:-2] + ["-writeDosage", "rd.bin"], d)
     run_ours(a[:-2] + ["-writeDosage", "od.bin"], d)
     assert open(f"{d}/rd.bin", "rb").read() == open(f"{d}/od.bin", "rb").read()
@@ -269,6 +273,23 @@ def test_checkpoint_missing_offsets(tmp_path):
         assert full.zMissing.startswith(chk.zMissing)
         np.testing.assert_array_equal(chk.haplotypes(),
                                       full.haplotypes()[:, :nc])
+
+
+def test_paint_sparse_contents_identical(ref_bin, data_dir):
+    """-paintSparse: decompressed contents of all five .s.out.gz streams
+    (pbwtPaint.c:211-328).  gzip framing may differ, so compare gunzipped
+    payloads."""
+    import gzip
+    d = data_dir
+    base = ["-readMacs", "sim.macs", "-subsample", "0", "30"]
+    run_ref(ref_bin, base + ["-paintSparse", "refs", "10", "2", "0"], d)
+    run_ours(base + ["-paintSparse", "ours", "10", "2", "0"], d)
+    for t in ("nregions.s.out.gz", "chunkcounts.s.out.gz",
+              "chunklengths.s.out.gz", "regionsquaredchunkcounts.s.out.gz",
+              "regionchunkcounts.s.out.gz"):
+        ref = gzip.open(f"{d}/refs.{t}").read()
+        ours = gzip.open(f"{d}/ours.{t}").read()
+        assert ref == ours, t
 
 
 def test_binary_roundtrip_identical(ref_bin, data_dir):
