@@ -1,11 +1,12 @@
-"""Benchmark: PBWT construction throughput on one chip.
+"""Benchmark: PBWT construction + matchDynamic throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Metric is haplotype-sites/s/chip for the device construction scan (the
-reference's hot loop, pbwtCore.c:458-508, is O(M) per site on one CPU
-thread; BASELINE.md sets the target at >=10M hap-sites/s/chip).
-vs_baseline = value / 1e7.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+the primary metric (construction hap-sites/s/chip vs the >=10M target,
+BASELINE.md) plus the second BASELINE metric as extra fields:
+match_queries_per_s = set-maximal query matching against a standing
+100k-haplotype panel (the matchDynamic production path, pbwtMatch.c:352-443);
+match_vs_ref_binary compares against the reference binary compiled on this
+host (0.63 s for the same M=100k N=2048 Q=256 workload = 406 q/s).
 """
 
 import json
@@ -28,14 +29,22 @@ def main():
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16   # 65536 haplotypes
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 14   # 16384 sites
     rng = np.random.RandomState(0)
-    # allele frequencies drawn per site for realistic run-length structure
-    freqs = rng.beta(0.2, 0.8, size=N)
-    X_cols = (rng.random_sample((N, M)) < freqs[:, None]).astype(np.uint8)
+    # allele frequencies drawn per site for realistic run-length structure;
+    # haplotypes are tiled from a 16k-wide random block (the partition
+    # kernel and the bitonic sorts are data-independent, so tiling does not
+    # change the measurement but avoids paging through an 8 GB intermediate
+    # on the sandbox's slow-fault memory)
+    freqs = rng.beta(0.2, 0.8, size=N).astype(np.float32)
+    TILE = min(M, 1 << 14)
+    X_tile = (rng.random_sample((N, TILE)).astype(np.float32)
+              < freqs[:, None]).astype(np.uint8)
 
     on_tpu = jax.default_backend() == "tpu"
     Mp = dbuild.pad_to(M, 4096 if on_tpu else 256)
     cols = np.ones((N, Mp), dtype=np.uint8)
-    cols[:, :M] = X_cols
+    for t0 in range(0, M, TILE):
+        t1 = min(t0 + TILE, M)
+        cols[:, t0:t1] = X_tile[:, :t1 - t0]
     w_dev = jnp.asarray(dbuild.pack_group_words(cols))
     a0 = jnp.arange(Mp, dtype=jnp.int32)
 
@@ -63,12 +72,48 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     hap_sites_per_s = M * N / dt
-    print(json.dumps({
+    result = {
         "metric": "pbwt_build_hap_sites_per_s_per_chip",
         "value": round(hap_sites_per_s, 1),
         "unit": "hap-sites/s",
         "vs_baseline": round(hap_sites_per_s / BASELINE, 3),
-    }))
+    }
+    if on_tpu:
+        result.update(bench_match_dynamic())
+    print(json.dumps(result))
+
+
+# reference binary -matchDynamic on this host at M=100k N=2048 Q=256
+# (see tests/test_crosscheck.py ref_bin fixture): 0.63 s = 406 queries/s
+REF_MATCH_QPS = 406.3
+
+
+def bench_match_dynamic(M=100_000, N=2048, Q=256):
+    from pbwt_tpu.ops import match_jax
+
+    rng = np.random.RandomState(0)
+    freqs = rng.beta(0.2, 0.8, size=N)
+    Xp = (rng.random_sample((M, N)) < freqs[None, :]).astype(np.uint8)
+    Xq = np.empty((Q, N), np.uint8)
+    for q in range(Q):                    # panel-row mosaics: real matches
+        pos = 0
+        while pos < N:
+            seg = rng.randint(50, 400)
+            src = rng.randint(0, M)
+            Xq[q, pos:pos + seg] = Xp[src, pos:pos + seg]
+            pos += seg
+
+    matcher = match_jax.DeviceMatcher(Xp)
+    matcher.match(Xq)                     # warm-up / compile
+    t0 = time.perf_counter()
+    rows = matcher.match(Xq)
+    dt = time.perf_counter() - t0
+    return {
+        "match_queries_per_s": round(Q / dt, 2),
+        "match_M": M, "match_N": N, "match_Q": Q,
+        "match_rows": len(rows),
+        "match_vs_ref_binary": round(Q / dt / REF_MATCH_QPS, 3),
+    }
 
 
 if __name__ == "__main__":

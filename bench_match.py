@@ -34,12 +34,22 @@ def main():
 
     from pbwt_tpu.ops import match_jax
 
-    rows = match_jax.match_queries_device(Xp, Xq)     # warm-up / compile
+    matcher = match_jax.DeviceMatcher(Xp)             # panel upload once
+    rows = matcher.match(Xq)                          # warm-up / compile
     t0 = time.perf_counter()
-    rows = match_jax.match_queries_device(Xp, Xq)
+    rows = matcher.match(Xq)
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "match_queries_per_s_end_to_end",
+        "metric": "match_queries_per_s",
+        "value": round(Q / dt, 2), "unit": "queries/s",
+        "M": M, "N": N, "Q": Q, "rows": len(rows),
+        "seconds": round(dt, 3),
+    }))
+    t0 = time.perf_counter()
+    rows = match_jax.match_queries_device(Xp, Xq)     # incl. panel setup
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "match_queries_per_s_cold_panel",
         "value": round(Q / dt, 2), "unit": "queries/s",
         "M": M, "N": N, "Q": Q, "rows": len(rows),
         "seconds": round(dt, 3),

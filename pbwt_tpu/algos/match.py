@@ -301,7 +301,11 @@ def match_sequences_indexed(p: PBWT, q: PBWT, report=report_match_stdout) -> Non
     import os
     if os.environ.get("PBWT_TPU_DEVICE") and p.M > 512:
         import jax
-        if jax.default_backend() == "tpu":
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except RuntimeError:          # backend unavailable (e.g. chip busy)
+            on_tpu = False
+        if on_tpu:
             from ..ops import enable_compilation_cache, match_jax
             enable_compilation_cache()
             rows = match_jax.match_queries_device(p.haplotypes(),
@@ -387,10 +391,51 @@ def match_sequences_indexed(p: PBWT, q: PBWT, report=report_match_stdout) -> Non
 def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
     """The production dynamic matcher (matchSequencesSweep,
     pbwtMatch.c:363-443): joint sweep of panel and query cursors keeping per
-    query the best-match pointer f and its start d."""
+    query the best-match pointer f and its start d.
+
+    With PBWT_TPU_DEVICE=1 on a TPU backend the match set is computed by the
+    device engine (ops/match_jax.DeviceMatcher) and re-ordered into the
+    sweep's exact report sequence (per end site, queries in query-PBWT sort
+    order), so stdout is byte-identical to the host sweep."""
     if q.N != p.N:
         raise ValueError(f"query length {q.N} != PBWT length {p.N}")
     M, N, QM = p.M, p.N, q.M
+
+    import os
+    if os.environ.get("PBWT_TPU_DEVICE") and M > 512:
+        import jax
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except RuntimeError:          # backend unavailable (e.g. chip busy)
+            on_tpu = False
+        if on_tpu:
+            from ..ops import enable_compilation_cache, match_jax
+            enable_compilation_cache()
+            rows = match_jax.DeviceMatcher(p.haplotypes()).match(q.haplotypes())
+            # query sort position per site: within an end site the sweep
+            # reports queries in q's PBWT order (pbwtMatch.c:376)
+            Yq_ = q.decoded(True)
+            aq_ = (q.aFstart if q.aFstart is not None
+                   else np.arange(QM, dtype=np.int32)).copy()
+            qpos = np.empty((N + 1, QM), np.int32)
+            for k in range(N):
+                qpos[k, aq_] = np.arange(QM)
+                aq_ = engine.forwards_a(aq_, Yq_[k])
+            qpos[N, aq_] = np.arange(QM)
+            order = sorted(range(len(rows)),
+                           key=lambda i: (rows[i][3],
+                                          qpos[rows[i][3], rows[i][0]], i))
+            n_tot, tot_len = len(rows), 0
+            for i in order:
+                jq, hap, s, e = rows[i]
+                report(jq, hap, s, e)
+                tot_len += e - s
+            log(f"Average number of best matches including alternates "
+                f"{n_tot / QM:.1f}, Average length "
+                f"{tot_len / max(n_tot, 1):.1f}, Av number per position "
+                f"{tot_len / (QM * N):.1f}")
+            return
+
     Yp = p.decoded(True)
     Yq = q.decoded(True)
 

@@ -203,129 +203,218 @@ def match_scan(W: jnp.ndarray, query_cols: jnp.ndarray,
             (e_end, f_end, g_end), flatten(ybits))
 
 
-@jax.jit
-def match_scan_ad(W: jnp.ndarray, query_cols: jnp.ndarray,
-                  xq_bits: jnp.ndarray, xp_bits: jnp.ndarray,
-                  xq_words: jnp.ndarray, xp_words: jnp.ndarray,
-                  a0: jnp.ndarray):
-    """match_scan with the panel advanced by the Pallas divergence kernel
-    (ops/partition_pallas.partition_ad_step) instead of per-site 4-plane
-    lax.sorts: one kernel call per site inside the group scan, with the
-    vectorised query FM/collapse machinery in XLA between calls.
+_WB = 2    # backward-extension window, 32-site words
+_WD = 8    # interval-widening window, rows
 
-    Same inputs as match_scan except the panel may be padded with duplicate
-    rows (Mp = multiple of 4096); duplicates are invisible to set-maximal
-    semantics (an interval contains a duplicate iff it contains the
-    original, so collapse timing and real-id reports are unchanged) and the
-    caller filters padded ids. Emits per-group prefix-array snapshots for
-    the threaded host expansion instead of per-site sorted columns.
+
+def _reset_windowed(op, xqf, xpf, NW, Mp):
+    """Vectorised post-collapse (e, f, g) reset (pbwtMatch.c:309-320).
+
+    Same semantics as the reference's three scalar scans, restructured for
+    the VPU: a fixed window of gathered values handles the typical case in
+    straight-line code; rare overruns fall into cond-gated while_loops whose
+    bodies run only when some query still needs them.
+    """
+    collapsed, e, f1, g1, dflat, a_new, kk, qrows = op
+
+    def dval(idx):
+        return jnp.where(idx >= Mp, kk + 2,
+                         dflat[jnp.clip(idx, 0, Mp - 1)])
+
+    e1 = dval(f1) - 1
+    jbit = jnp.clip(e1, 0, NW * 32 - 1)
+    wq = xqf[qrows * NW + (jbit >> 5)]
+    xe1 = (wq >> (8 * ((jbit >> 3) & 3) + 7 - (jbit & 7))) & 1
+    branch_a = (f1 == Mp) | ((f1 > 0) & (xe1 == 0))
+    fsel = jnp.where(branch_a, g1 - 1, f1)
+    ref_hap = a_new[jnp.clip(fsel, 0, Mp - 1)]
+
+    # backward match extension on packed words, windowed
+    base = jnp.maximum(e1 - 1, 0)
+    w0 = base >> 5
+    r0 = (base & 31) + 1
+    jj = jnp.arange(_WB, dtype=jnp.int32)
+    widx = w0[:, None] - jj[None, :]
+    wi = jnp.maximum(widx, 0)
+    v = xqf[qrows[:, None] * NW + wi] ^ xpf[ref_hap[:, None] * NW + wi]
+    v = jnp.where(widx == w0[:, None], v & _word_mask_below(r0)[:, None], v)
+    v = jnp.where(widx >= 0, v, 0)
+    hit = v != 0
+    found_w = jnp.any(hit, axis=1)
+    firstj = jnp.argmax(hit, axis=1)
+    vsel = jnp.take_along_axis(v, firstj[:, None], axis=1)[:, 0]
+    j_w = 32 * (w0 - firstj) + _last_mismatch_in_word(vsel)
+    active = collapsed & (e1 > 0)
+    pend_bw = active & ~found_w & (w0 - _WB >= 0)
+
+    def bw_run(_):
+        def wcond(st):
+            wx, found, _ = st
+            return jnp.any(pend_bw & ~found & (wx >= 0))
+
+        def wbody(st):
+            wx, found, j = st
+            wc = jnp.maximum(wx, 0)
+            vv = xqf[qrows * NW + wc] ^ xpf[ref_hap * NW + wc]
+            vv = jnp.where(wx >= 0, vv, 0)
+            h = pend_bw & ~found & (vv != 0)
+            j = jnp.where(h, 32 * wx + _last_mismatch_in_word(vv), j)
+            return wx - 1, found | h, j
+
+        _, fnd, j2 = jax.lax.while_loop(
+            wcond, wbody,
+            (w0 - _WB, jnp.zeros_like(pend_bw), jnp.zeros_like(w0)))
+        return fnd, j2
+
+    found2, j2 = jax.lax.cond(
+        jnp.any(pend_bw), bw_run,
+        lambda _: (jnp.zeros_like(pend_bw), jnp.zeros_like(w0)), 0)
+    found_all = found_w | found2
+    j_all = jnp.where(found_w, j_w, j2)
+    e1 = jnp.where(active, jnp.where(found_all, j_all + 1, 0), e1)
+
+    # widen down from fsel while d <= e1 (d[<=0] is the k+2 sentinel)
+    jd = jnp.arange(_WD, dtype=jnp.int32)
+    dd = dval(fsel[:, None] - jd[None, :])
+    stopd = dd > e1[:, None]
+    foundd = jnp.any(stopd, axis=1)
+    f_down = fsel - jnp.argmax(stopd, axis=1)
+    pend_d = collapsed & branch_a & ~foundd
+
+    def dn_run(_):
+        def cnd(st):
+            return jnp.any(st[1])
+
+        def bdy(st):
+            fc, act = st
+            cont = act & (dval(fc) <= e1)
+            return jnp.where(cont, fc - 1, fc), cont
+
+        fc, _ = jax.lax.while_loop(cnd, bdy, (fsel - _WD, pend_d))
+        return fc
+
+    f_fb = jax.lax.cond(jnp.any(pend_d), dn_run, lambda _: fsel - _WD, 0)
+    f_down = jnp.where(foundd, f_down, f_fb)
+
+    # widen up from f1+1 while gc < Mp and d[gc] <= e1
+    du = jnp.where(f1[:, None] + 1 + jd[None, :] >= Mp, kk + 2,
+                   dval(f1[:, None] + 1 + jd[None, :]))
+    stopu = du > e1[:, None]
+    foundu = jnp.any(stopu, axis=1)
+    g_up = f1 + 1 + jnp.argmax(stopu, axis=1)
+    pend_u = collapsed & ~branch_a & ~foundu
+
+    def up_run(_):
+        def cnd(st):
+            return jnp.any(st[1])
+
+        def bdy(st):
+            gc, act = st
+            cont = act & (gc < Mp) & (dval(gc) <= e1)
+            return jnp.where(cont, gc + 1, gc), cont
+
+        gc, _ = jax.lax.while_loop(cnd, bdy, (f1 + 1 + _WD, pend_u))
+        return gc
+
+    g_fb = jax.lax.cond(jnp.any(pend_u), up_run, lambda _: f1 + 1 + _WD, 0)
+    g_up = jnp.where(foundu, g_up, g_fb)
+
+    f_new = jnp.where(branch_a, f_down, f1)
+    g_new = jnp.where(branch_a, g1, g_up)
+    return (jnp.where(collapsed, e1, e),
+            jnp.where(collapsed, f_new, f1),
+            jnp.where(collapsed, g_new, g1))
+
+
+@jax.jit
+def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
+                       xq_words: jnp.ndarray, xp_words: jnp.ndarray,
+                       carry):
+    """One segment of the device sweep (algorithm-5 interval machinery).
+
+    The panel advances through the Pallas divergence kernel
+    (ops/partition_pallas.partition_ad_step); queries ride as a batch with
+    pure FM interval maps per site and windowed resets on the (rare)
+    collapses.  Emits the pre-site prefix arrays to HBM so match ids are
+    expanded on-device afterwards - nothing large ever crosses to the host.
+
+    W (Ngs, Mp) packed group words (pad sites all-zero = identity steps);
+    qcols (Ngs*32, Q) query alleles (0 at pad sites);
+    xq_words (Q, NW) / xp_words (Mp, NW) row-packed haplotype words;
+    carry = (a, d, e, f, g, k) with k the global site index.
+    Returns (carry', mask, es, fs, gs (Ns, Q), asnaps (Ns, Mp)).
     """
     from .partition_pallas import partition_ad_step
-    Ng, Mp = W.shape
-    Q = query_cols.shape[1]
+    Ngs, Mp = W.shape
+    Q = qcols.shape[1]
     R = Mp // 128
+    NW = xq_words.shape[1]
+    xqf = xq_words.reshape(-1)
+    xpf = xp_words.reshape(-1)
     iota = jnp.arange(Mp, dtype=jnp.int32)
+    qrows = jnp.arange(Q, dtype=jnp.int32)
 
     def sort_gather(w_nat, a):
         _, inv = jax.lax.sort((a, iota), num_keys=1, is_stable=True)
         _, r = jax.lax.sort((inv, w_nat), num_keys=1, is_stable=True)
         return r
 
-    def reset_one(collapsed, xq_row, e, f1, g1, d_next, a_next, k):
-        e1 = d_next[jnp.minimum(f1, Mp)] - 1
-        xe1 = _getbit(xq_bits, xq_row,
-                      jnp.clip(e1, 0, xq_bits.shape[1] * 8 - 1))
-        branch_a = (f1 == Mp) | ((f1 > 0) & (xe1 == 0))
-        fsel = jnp.where(branch_a, g1 - 1, f1)
-        ref_hap = a_next[jnp.clip(fsel, 0, Mp - 1)]
-        w0 = jnp.maximum(e1 - 1, 0) >> 5
-        r0 = (jnp.maximum(e1 - 1, 0) & 31) + 1
-
-        def wcond(state):
-            widx, found, _ = state
-            return collapsed & (e1 > 0) & (~found) & (widx >= 0)
-
-        def wbody(state):
-            widx, found, j = state
-            v = xq_words[xq_row, widx] ^ xp_words[ref_hap, widx]
-            v = jnp.where(widx == w0, v & _word_mask_below(r0), v)
-            hit = v != 0
-            j_new = jnp.where(hit, 32 * widx + _last_mismatch_in_word(v), j)
-            return widx - 1, hit, j_new
-
-        _, found, j = jax.lax.while_loop(
-            wcond, wbody, (w0, jnp.bool_(False), jnp.int32(-1)))
-        e1 = jnp.where(collapsed & (e1 > 0),
-                       jnp.where(found, j + 1, 0), e1)
-
-        def down_cond(fc):
-            return collapsed & branch_a & (d_next[jnp.clip(fc, 0, Mp)] <= e1)
-
-        def up_cond(gc):
-            return (collapsed & (~branch_a) & (gc < Mp)
-                    & (d_next[jnp.clip(gc, 0, Mp)] <= e1))
-
-        f_new = jax.lax.while_loop(down_cond, lambda fc: fc - 1, fsel)
-        g_new = jnp.where(branch_a, g1,
-                          jax.lax.while_loop(up_cond, lambda gc: gc + 1,
-                                             f1 + 1))
-        f_new = jnp.where(branch_a, f_new, f1)
-        return e1, f_new, g_new
-
-    reset_batch = jax.vmap(reset_one, in_axes=(0, 0, 0, 0, 0, None, None,
-                                               None))
-    qrows = jnp.arange(Q, dtype=jnp.int32)
-
-    shifts = jnp.array([7, 6, 5, 4, 3, 2, 1, 0], dtype=jnp.uint8)
-
     def group_step(carry, xs):
         a, d, e, f, g, k = carry
         w_nat, qgrp = xs
-        a_snap = a
         w = sort_gather(w_nat, a)
-        recs, ybits = [], []
+        aR, dR, wR = (x.reshape(R, 128) for x in (a, d, w))
+        recs, snaps = [], []
         for s in range(GROUP):
             kk = k + s
             xk = qgrp[s]
-            key = (jax.lax.shift_right_logical(w, s) & 1).astype(jnp.uint8)
-            ybits.append((key.reshape(Mp // 8, 8) << shifts)
-                         .sum(axis=1).astype(jnp.uint8))
-            a2, d2, w2, u2, cnt = partition_ad_step(
-                a.reshape(R, 128), d.reshape(R, 128), w.reshape(R, 128),
-                s, kk)
+            snaps.append(aR.reshape(-1))
+            a2, d2, w2, u2, cnt = partition_ad_step(aR, dR, wR, s, kk)
             c = cnt[0]
             u = u2.reshape(-1)
-            uf = jnp.where(f == Mp, c, u[jnp.minimum(f, Mp - 1)])
-            ug = jnp.where(g == Mp, c, u[jnp.minimum(g, Mp - 1)])
-            f1 = jnp.where(xk != 0, c + f - uf, uf)
-            g1 = jnp.where(xk != 0, c + g - ug, ug)
+            fg = jnp.concatenate([f, g])
+            ufg = jnp.where(fg == Mp, c, u[jnp.minimum(fg, Mp - 1)])
+            fg1 = jnp.where(jnp.concatenate([xk, xk]) != 0,
+                            c + fg - ufg, ufg)
+            f1, g1 = fg1[:Q], fg1[Q:]
             collapsed = g1 <= f1
             recs.append((collapsed, e, f, g))
-            a, w = a2.reshape(-1), w2.reshape(-1)
-            d_full = jnp.concatenate([d2.reshape(-1),
-                                      jnp.full(1, kk + 2, jnp.int32)])
-            e_r, f_r, g_r = reset_batch(collapsed, qrows, e, f1, g1,
-                                        d_full, a, kk)
-            e = jnp.where(collapsed, e_r, e)
-            f = jnp.where(collapsed, f_r, f1)
-            g = jnp.where(collapsed, g_r, g1)
-            d = d2.reshape(-1)
+            dflat = d2.reshape(-1)
+            aflat = a2.reshape(-1)
+            e, f, g = jax.lax.cond(
+                jnp.any(collapsed),
+                lambda op: _reset_windowed(op, xqf, xpf, NW, Mp),
+                lambda op: (op[1], op[2], op[3]),
+                (collapsed, e, f1, g1, dflat, aflat, kk, qrows))
+            aR, dR, wR = a2, d2, w2
         mask_g, e_g, f_g, g_g = (jnp.stack([r[i] for r in recs])
                                  for i in range(4))
-        return ((a, d, e, f, g, k + GROUP),
-                (mask_g, e_g, f_g, g_g, a_snap, jnp.stack(ybits)))
+        return ((aR.reshape(-1), dR.reshape(-1), e, f, g, k + GROUP),
+                (mask_g, e_g, f_g, g_g, jnp.stack(snaps)))
 
-    a = a0
-    d = jnp.zeros(Mp, dtype=jnp.int32).at[0].set(1)
-    e = jnp.zeros(Q, dtype=jnp.int32)
-    f = jnp.zeros(Q, dtype=jnp.int32)
-    g = jnp.full(Q, Mp, dtype=jnp.int32)
-    qgrps = query_cols.reshape(Ng, GROUP, Q)
-    (_, _, e_end, f_end, g_end, _), (mask, es, fs, gs, snaps, yb) = \
-        jax.lax.scan(group_step, (a, d, e, f, g, jnp.int32(0)), (W, qgrps))
-    flatten = lambda x: x.reshape((Ng * GROUP,) + x.shape[2:])
-    return (flatten(mask), flatten(es), flatten(fs), flatten(gs),
-            (e_end, f_end, g_end), snaps, flatten(yb))
+    qgrps = qcols.reshape(Ngs, GROUP, Q)
+    carry, (mask, es, fs, gs, snaps) = jax.lax.scan(group_step, carry,
+                                                    (W, qgrps))
+    flatten = lambda x: x.reshape((Ngs * GROUP,) + x.shape[2:])
+    return (carry, flatten(mask), flatten(es), flatten(fs), flatten(gs),
+            flatten(snaps))
+
+
+@jax.jit
+def _compact_records(mask, es, fs, gs):
+    """Sort collapse records to the front, preserving (site, query) order.
+    Returns one stacked (4, Ns*Q) array so the host fetch is one transfer."""
+    key = (~mask.reshape(-1)).astype(jnp.int32)
+    idx = jnp.arange(mask.size, dtype=jnp.int32)
+    _, si, se, sf, sg = jax.lax.sort(
+        (key, idx, es.reshape(-1), fs.reshape(-1), gs.reshape(-1)),
+        num_keys=1, is_stable=True)
+    return jnp.stack([si, se, sf, sg])
+
+
+@jax.jit
+def _gather_flat(table, idx):
+    return table.reshape(-1)[idx]
 
 
 @jax.jit
@@ -426,79 +515,140 @@ def match_queries_device(Xp: np.ndarray, Xq: np.ndarray):
     return rows
 
 
+def _pow2_pad(n: int) -> int:
+    return 1 << max(n - 1, 0).bit_length()
+
+
+# snapshot budget per segment: caps device memory at ~1.5 GB of prefix
+# arrays; segments re-use one compiled program (last segment zero-padded)
+_SNAP_BYTES = 1_500_000_000
+
+
+class DeviceMatcher:
+    """Standing-panel device matcher.
+
+    Uploads the bit-packed panel once (the panel payload is the only large
+    host->device transfer; group words and row words are derived on device)
+    and then serves query batches: per call, the scan runs in fixed-size
+    site segments leaving the per-site prefix arrays in HBM, collapse
+    records are compacted on device, and match ids come back through one
+    flat device gather - only O(records) bytes ever cross the host link.
+    """
+
+    def __init__(self, Xp: np.ndarray):
+        from ..core import native
+        from .build import pad_to
+        M, N = Xp.shape
+        self.M, self.N = M, N
+        self.Mp = Mp = pad_to(M, 4096)
+        self.Ng = Ng = (N + GROUP - 1) // GROUP
+        self.gseg = min(max(_SNAP_BYTES // (4 * Mp * GROUP), 1), Ng)
+        self.nseg = -(-Ng // self.gseg)
+
+        xp_bits = bitpack_rows(Xp)
+        nb = 4 * Ng
+        # pad rows with duplicates of row 0 (invisible to set-maximal
+        # structure; ids >= M filtered from reports); pad site bytes zero
+        xp_pad = native.pooled_view((Mp, nb), np.uint8, "match:xp_pad")
+        xp_pad[:] = 0
+        xp_pad[:M, :xp_bits.shape[1]] = xp_bits
+        xp_pad[M:] = xp_pad[0]
+        xp_pad_d = jnp.asarray(xp_pad)
+        self.xp_words = jax.lax.bitcast_convert_type(
+            xp_pad_d.reshape(Mp, nb // 4, 4), jnp.int32)
+        self.W_all = _panel_words_from_bits(xp_pad_d)
+        if self.nseg * self.gseg > Ng:
+            self.W_all = jnp.concatenate(
+                [self.W_all,
+                 jnp.zeros((self.nseg * self.gseg - Ng, Mp), jnp.int32)])
+        self.nw = nb // 4
+
+    def match(self, Xq: np.ndarray):
+        M, N, Mp, Q = self.M, self.N, self.Mp, Xq.shape[0]
+        xq_bits = bitpack_rows(Xq)
+        xq_words_np = np.zeros((Q, self.nw), np.int32)
+        w = pack_row_words(xq_bits)
+        xq_words_np[:, :min(w.shape[1], self.nw)] = w[:, :self.nw]
+        xq_words = jnp.asarray(xq_words_np)
+
+        nsites = self.nseg * self.gseg * GROUP
+        qcols = np.zeros((nsites, Q), dtype=np.uint8)
+        qcols[:N] = Xq.T
+
+        carry = (jnp.arange(Mp, dtype=jnp.int32),
+                 jnp.zeros(Mp, dtype=jnp.int32).at[0].set(1),
+                 jnp.zeros(Q, dtype=jnp.int32),
+                 jnp.zeros(Q, dtype=jnp.int32),
+                 jnp.full(Q, Mp, dtype=jnp.int32),
+                 jnp.int32(0))
+
+        out_rows: list[np.ndarray] = []
+        for seg in range(self.nseg):
+            base = seg * self.gseg * GROUP
+            Wd = self.W_all[seg * self.gseg:(seg + 1) * self.gseg]
+            qd = jnp.asarray(qcols[base:base + self.gseg * GROUP])
+            carry, mask, es, fs, gs, snaps = match_scan_segment(
+                Wd, qd, xq_words, self.xp_words, carry)
+            nrec = int(jnp.sum(mask))
+            if nrec:
+                recs = _compact_records(mask, es, fs, gs)
+                npad = min(_pow2_pad(nrec), int(recs.shape[1]))
+                si_h, se_h, sf_h, sg_h = np.asarray(recs[:, :npad])[:, :nrec]
+                out_rows.append(_expand_records_device(
+                    snaps, si_h, se_h, sf_h, sg_h, base, Q, Mp))
+        # k = N flush of still-open intervals, expanded from the final a
+        a_end = carry[0]
+        e_h, f_h, g_h = np.asarray(jnp.stack([carry[2], carry[3], carry[4]]))
+        widths = (g_h.astype(np.int64) - f_h).clip(min=0)
+        total = int(widths.sum())
+        if total:
+            starts = np.repeat(f_h, widths)
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(widths)[:-1]]), widths)
+            idx = starts + offs
+            npad = _pow2_pad(total)
+            idxp = np.zeros(npad, np.int32)
+            idxp[:total] = idx
+            ids = np.asarray(_gather_flat(a_end, jnp.asarray(idxp)))[:total]
+            rows = np.empty((total, 4), np.int32)
+            rows[:, 0] = np.repeat(np.arange(Q), widths)
+            rows[:, 1] = ids
+            rows[:, 2] = np.repeat(e_h, widths)
+            rows[:, 3] = N
+            out_rows.append(rows)
+        if not out_rows:
+            return []
+        allrows = np.concatenate(out_rows)
+        allrows = allrows[allrows[:, 1] < M]
+        return [tuple(int(v) for v in row) for row in allrows]
+
+
 def _match_queries_tpu(Xp: np.ndarray, Xq: np.ndarray):
-    """Pallas-kernel matcher path; returns None if the native lib is
-    unavailable (the caller falls back to the portable path)."""
-    from ..core import native
-    from .build import pad_to
-    lib = native.get_lib()
-    if lib is None:
-        return None
-    M, N = Xp.shape
-    Q = Xq.shape[0]
-    Mp = pad_to(M, 4096)
-    Ng = (N + GROUP - 1) // GROUP
+    """One-shot wrapper over DeviceMatcher (panel upload included)."""
+    return DeviceMatcher(Xp).match(Xq)
 
-    xp_bits = bitpack_rows(Xp)
-    xq_bits = bitpack_rows(Xq)
-    # pad rows with duplicates of row 0; pad site bytes with zeros
-    nb = 4 * Ng
-    xp_pad = native.pooled_view((Mp, nb), np.uint8, "match:xp_pad")
-    xp_pad[:] = 0
-    xp_pad[:M, :xp_bits.shape[1]] = xp_bits
-    xp_pad[M:] = xp_pad[0]
-    xp_words = pack_row_words(xp_pad[:, :((N + 31) // 32) * 4])
-    xq_words = pack_row_words(xq_bits)
 
-    qcols = np.zeros((Ng * GROUP, Q), dtype=np.uint8)   # pad sites: 0
-    qcols[:N] = Xq.T
-
-    W = _panel_words_from_bits(jnp.asarray(xp_pad))
-    a0 = jnp.arange(Mp, dtype=jnp.int32)
-    mask, es, fs, gs, flush, snaps, ybits = match_scan_ad(
-        W, jnp.asarray(qcols), jnp.asarray(xq_bits), jnp.asarray(xp_pad),
-        jnp.asarray(xq_words), jnp.asarray(xp_words), a0)
-
-    import os as _os
-    nchunks = min(max(_os.cpu_count() or 1, 1), 16, Ng)
-    gpc = -(-Ng // nchunks)                 # groups per chunk
-    nchunks = -(-Ng // gpc)
-    snaps_h = np.ascontiguousarray(np.asarray(snaps[::gpc]))
-    mask = np.asarray(mask)[:N]
-    es = np.asarray(es)[:N]
-    fs = np.asarray(fs)[:N]
-    gs = np.asarray(gs)[:N]
-    e_end, f_end, g_end = (np.asarray(x) for x in flush)
-
-    ks, qs = np.nonzero(mask)
-    rec_q = np.concatenate([qs, np.arange(Q)]).astype(np.int32)
-    rec_e = np.concatenate([es[ks, qs], e_end]).astype(np.int32)
-    rec_f = np.concatenate([fs[ks, qs], f_end]).astype(np.int32)
-    rec_g = np.concatenate([gs[ks, qs], g_end]).astype(np.int32)
-    rec_k = np.concatenate([ks, np.full(Q, N)])
-    rec_off = np.zeros(N + 2, dtype=np.int64)
-    np.add.at(rec_off, rec_k + 1, 1)
-    rec_off = np.cumsum(rec_off)
-
-    widths = (rec_g.astype(np.int64) - rec_f).clip(min=0)
-    # rows per chunk: records are (site, query)-ordered, so per-chunk row
-    # starts come from the record widths prefix-summed at chunk boundaries
-    order = np.argsort(rec_k, kind="stable")
-    w_sorted = widths[order]
-    wcum = np.concatenate([[0], np.cumsum(w_sorted)])
-    chunk_k0 = np.minimum(np.arange(nchunks + 1) * gpc * GROUP, N + 1)
-    chunk_k0[-1] = N + 1
-    rec_idx_at = rec_off[np.minimum(chunk_k0, N + 1)]
-    row_start = wcum[rec_idx_at[:-1]]
-    total = int(wcum[-1])
-
-    ybits_h = np.ascontiguousarray(np.asarray(ybits)[:N])
-    out = native.pooled_view((max(total, 1), 4), np.int32, "match:out")
-    lib.expand_records_mt(ybits_h.reshape(-1), ybits_h.shape[1], Mp, N,
-                          nchunks, chunk_k0.astype(np.int64),
-                          snaps_h.reshape(-1), rec_off,
-                          rec_q, rec_e, rec_f, rec_g,
-                          row_start.astype(np.int64), out.reshape(-1))
-    real = out[:total]
-    real = real[real[:, 1] < M]
-    return [tuple(int(v) for v in row) for row in real]
+def _expand_records_device(snaps, si, se, sf, sg, base, Q, Mp):
+    """Expand segment collapse records [f, g) to hap ids via one device
+    gather from the per-site prefix-array snapshots."""
+    nrec = si.shape[0]
+    k_loc = (si // Q).astype(np.int64)
+    q = (si % Q).astype(np.int32)
+    widths = (sg.astype(np.int64) - sf).clip(min=0)
+    total = int(widths.sum())
+    if total == 0:
+        return np.empty((0, 4), np.int32)
+    rec_of_row = np.repeat(np.arange(nrec), widths)
+    offs = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(widths)[:-1]]), widths)
+    flat = k_loc[rec_of_row] * Mp + sf[rec_of_row] + offs
+    npad = _pow2_pad(total)
+    idxp = np.zeros(npad, np.int32)
+    idxp[:total] = flat.astype(np.int32)
+    ids = np.asarray(_gather_flat(snaps, jnp.asarray(idxp)))[:total]
+    rows = np.empty((total, 4), np.int32)
+    rows[:, 0] = q[rec_of_row]
+    rows[:, 1] = ids
+    rows[:, 2] = se[rec_of_row]
+    rows[:, 3] = base + k_loc[rec_of_row]
+    return rows

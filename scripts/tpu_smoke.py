@@ -99,6 +99,52 @@ def check_matcher():
     print(f"PASS kernel matcher == portable ({len(rows_tpu)} rows)")
 
 
+def check_match_dynamic_route():
+    """CLI -matchDynamic device route == host sweep, byte-for-byte."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from pbwt_tpu.algos import match as am
+    from pbwt_tpu.core.pbwt import PBWT
+
+    rng = np.random.RandomState(13)
+    M, N, Q = 2000, 300, 32
+    F = (rng.random_sample((25, N)) < 0.4).astype(np.uint8)
+    Xp = (F[rng.randint(25, size=M)]
+          ^ (rng.random_sample((M, N)) < 0.02).astype(np.uint8))
+    Xq = np.empty((Q, N), np.uint8)
+    for q in range(Q):
+        pos = 0
+        while pos < N:
+            seg = rng.randint(20, 80)
+            src = rng.randint(0, M)
+            Xq[q, pos:pos + seg] = Xp[src, pos:pos + seg]
+            pos += seg
+    p = PBWT.from_haplotypes(Xp)
+    qq = PBWT.from_haplotypes(Xq)
+
+    def run():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            am.match_sequences_sweep(p, qq, am.report_match_stdout)
+        return buf.getvalue()
+
+    prev = os.environ.pop("PBWT_TPU_DEVICE", None)
+    host_out = run()
+    os.environ["PBWT_TPU_DEVICE"] = "1"
+    try:
+        dev_out = run()
+    finally:
+        if prev is None:
+            os.environ.pop("PBWT_TPU_DEVICE", None)
+        else:
+            os.environ["PBWT_TPU_DEVICE"] = prev
+    assert dev_out == host_out, "matchDynamic device route stdout differs"
+    print(f"PASS matchDynamic device route == host sweep "
+          f"({host_out.count(chr(10))} lines)")
+
+
 if __name__ == "__main__":
     import jax
     if jax.default_backend() != "tpu":
@@ -106,4 +152,5 @@ if __name__ == "__main__":
     check_build()
     check_ad_kernel()
     check_matcher()
+    check_match_dynamic_route()
     print("ALL TPU SMOKE CHECKS PASSED")
