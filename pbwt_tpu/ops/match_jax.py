@@ -2,25 +2,27 @@
 
 Algorithm 5 of Durbin (2014) restructured TPU-first: queries become a batch
 dimension over vectorised FM-interval updates inside one lax.scan over
-32-site groups; the rare interval-collapse resets run as vmapped bounded
-while_loops against bit-packed haplotypes held in HBM.
+32-site groups; the panel advances through the Pallas divergence kernel
+(ops/partition_pallas.partition_ad_step).  Interval collapses (rare) are
+compacted to a 16-lane vector and re-anchored with fixed windows of
+gathered values; a single cond-gated fallback of while_loops covers window
+overruns.
 
-Panel state advances with the grouped packed-word design from ops/build:
-32 future panel sites ride each haplotype as one int32 word aligned to the
-sort order once per group (two-sort gather), so the near-serial per-site
-XLA gather disappears; each site is then one stable 4-plane sort carrying
-(a, divergence, words).
-
-The device emits per-(site, query) collapse records (e, f, g) plus the
-sorted panel columns; the host expands record intervals into haplotype ids
-with one native C pass over those columns (native/pbwt_native.c
-expand_records) - a stable partition replay with no gathers.
+Reporting is transfer-minimal for tunneled/remote devices: per-site
+prefix-array snapshots stay in HBM, collapse records are compacted
+on-device and fetched in one transfer, and match ids come back through
+one flat device gather (DeviceMatcher).  The portable (non-TPU) path
+(match_scan) emits sorted columns and expands ids on the host via the
+native C runtime instead.
 
 Equivalent output to matchSequencesIndexed (pbwtMatch.c:255-340) and hence
-the set of all set-maximal matches.
+the set of all set-maximal matches; algos/match.py re-orders it into the
+sweep's exact report sequence for -matchDynamic stdout parity.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -203,8 +205,9 @@ def match_scan(W: jnp.ndarray, query_cols: jnp.ndarray,
             (e_end, f_end, g_end), flatten(ybits))
 
 
-_WB = 2    # backward-extension window, 32-site words
-_WD = 8    # interval-widening window, rows
+_WB = 4    # backward-extension window, 32-site words
+_WD = 16   # interval-widening window, rows
+_QC = 16   # compacted reset width (collapses per site rarely exceed this)
 
 
 def _reset_windowed(op, xqf, xpf, NW, Mp):
@@ -246,8 +249,26 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
     j_w = 32 * (w0 - firstj) + _last_mismatch_in_word(vsel)
     active = collapsed & (e1 > 0)
     pend_bw = active & ~found_w & (w0 - _WB >= 0)
+    e1_win = jnp.where(active, jnp.where(found_w, j_w + 1, 0), e1)
 
-    def bw_run(_):
+    # widen windows computed from the window e1 (lanes whose backward
+    # extension overran the window are re-done in the fallback branch)
+    jd = jnp.arange(_WD, dtype=jnp.int32)
+    # down from fsel while d <= e1 (d[<=0] is the k+2 sentinel)
+    dd = dval(fsel[:, None] - jd[None, :])
+    stopd = dd > e1_win[:, None]
+    foundd = jnp.any(stopd, axis=1)
+    f_down = fsel - jnp.argmax(stopd, axis=1)
+    pend_d = collapsed & branch_a & (~foundd | pend_bw)
+    # up from f1+1 while gc < Mp and d[gc] <= e1
+    du = jnp.where(f1[:, None] + 1 + jd[None, :] >= Mp, kk + 2,
+                   dval(f1[:, None] + 1 + jd[None, :]))
+    stopu = du > e1_win[:, None]
+    foundu = jnp.any(stopu, axis=1)
+    g_up = f1 + 1 + jnp.argmax(stopu, axis=1)
+    pend_u = collapsed & ~branch_a & (~foundu | pend_bw)
+
+    def fallbacks(_):
         def wcond(st):
             wx, found, _ = st
             return jnp.any(pend_bw & ~found & (wx >= 0))
@@ -264,66 +285,65 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
         _, fnd, j2 = jax.lax.while_loop(
             wcond, wbody,
             (w0 - _WB, jnp.zeros_like(pend_bw), jnp.zeros_like(w0)))
-        return fnd, j2
+        e1_fb = jnp.where(pend_bw,
+                          jnp.where(fnd, j2 + 1, 0), e1_win)
 
-    found2, j2 = jax.lax.cond(
-        jnp.any(pend_bw), bw_run,
-        lambda _: (jnp.zeros_like(pend_bw), jnp.zeros_like(w0)), 0)
-    found_all = found_w | found2
-    j_all = jnp.where(found_w, j_w, j2)
-    e1 = jnp.where(active, jnp.where(found_all, j_all + 1, 0), e1)
-
-    # widen down from fsel while d <= e1 (d[<=0] is the k+2 sentinel)
-    jd = jnp.arange(_WD, dtype=jnp.int32)
-    dd = dval(fsel[:, None] - jd[None, :])
-    stopd = dd > e1[:, None]
-    foundd = jnp.any(stopd, axis=1)
-    f_down = fsel - jnp.argmax(stopd, axis=1)
-    pend_d = collapsed & branch_a & ~foundd
-
-    def dn_run(_):
-        def cnd(st):
-            return jnp.any(st[1])
-
-        def bdy(st):
+        def dn_body(st):
             fc, act = st
-            cont = act & (dval(fc) <= e1)
+            cont = act & (dval(fc) <= e1_fb)
             return jnp.where(cont, fc - 1, fc), cont
 
-        fc, _ = jax.lax.while_loop(cnd, bdy, (fsel - _WD, pend_d))
-        return fc
+        fc, _ = jax.lax.while_loop(lambda st: jnp.any(st[1]), dn_body,
+                                   (fsel, pend_d))
 
-    f_fb = jax.lax.cond(jnp.any(pend_d), dn_run, lambda _: fsel - _WD, 0)
-    f_down = jnp.where(foundd, f_down, f_fb)
-
-    # widen up from f1+1 while gc < Mp and d[gc] <= e1
-    du = jnp.where(f1[:, None] + 1 + jd[None, :] >= Mp, kk + 2,
-                   dval(f1[:, None] + 1 + jd[None, :]))
-    stopu = du > e1[:, None]
-    foundu = jnp.any(stopu, axis=1)
-    g_up = f1 + 1 + jnp.argmax(stopu, axis=1)
-    pend_u = collapsed & ~branch_a & ~foundu
-
-    def up_run(_):
-        def cnd(st):
-            return jnp.any(st[1])
-
-        def bdy(st):
+        def up_body(st):
             gc, act = st
-            cont = act & (gc < Mp) & (dval(gc) <= e1)
+            cont = act & (gc < Mp) & (dval(gc) <= e1_fb)
             return jnp.where(cont, gc + 1, gc), cont
 
-        gc, _ = jax.lax.while_loop(cnd, bdy, (f1 + 1 + _WD, pend_u))
-        return gc
+        gc, _ = jax.lax.while_loop(lambda st: jnp.any(st[1]), up_body,
+                                   (f1 + 1, pend_u))
+        return e1_fb, fc, gc
 
-    g_fb = jax.lax.cond(jnp.any(pend_u), up_run, lambda _: f1 + 1 + _WD, 0)
-    g_up = jnp.where(foundu, g_up, g_fb)
+    e1, f_fb, g_fb = jax.lax.cond(
+        jnp.any(pend_bw | pend_d | pend_u), fallbacks,
+        lambda _: (e1_win, fsel, f1 + 1), 0)
+    f_down = jnp.where(pend_d, f_fb, f_down)
+    g_up = jnp.where(pend_u, g_fb, g_up)
 
     f_new = jnp.where(branch_a, f_down, f1)
     g_new = jnp.where(branch_a, g1, g_up)
     return (jnp.where(collapsed, e1, e),
             jnp.where(collapsed, f_new, f1),
             jnp.where(collapsed, g_new, g1))
+
+
+def _site_reset(op, xqf, xpf, NW, Mp):
+    """Reset dispatcher: compact the (typically few) collapsed lanes to a
+    _QC-wide vector so the reset's gathers touch _QC rather than Q elements;
+    a site with more than _QC collapses falls back to the full-width path."""
+    collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
+    Q = collapsed.shape[0]
+    if Q <= _QC:
+        return _reset_windowed(op, xqf, xpf, NW, Mp)
+    pos = jnp.cumsum(collapsed.astype(jnp.int32)) - 1
+    ncol = pos[-1] + 1
+
+    def compact_path(op):
+        collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
+        comp = jnp.full(_QC + 1, Q, jnp.int32).at[
+            jnp.where(collapsed, pos, _QC)].set(qrows, mode="drop")[:_QC]
+        valid = comp < Q
+        lane = jnp.minimum(comp, Q - 1)
+        e_c, f_c, g_c = e[lane], f1[lane], g1[lane]
+        e2, f2, g2 = _reset_windowed(
+            (valid, e_c, f_c, g_c, dflat, aflat, kk, lane), xqf, xpf, NW, Mp)
+        return (e.at[comp].set(e2, mode="drop"),
+                f1.at[comp].set(f2, mode="drop"),
+                g1.at[comp].set(g2, mode="drop"))
+
+    return jax.lax.cond(ncol <= _QC, compact_path,
+                        lambda op: _reset_windowed(op, xqf, xpf, NW, Mp), op)
 
 
 @jax.jit
@@ -383,7 +403,7 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
             aflat = a2.reshape(-1)
             e, f, g = jax.lax.cond(
                 jnp.any(collapsed),
-                lambda op: _reset_windowed(op, xqf, xpf, NW, Mp),
+                lambda op: _site_reset(op, xqf, xpf, NW, Mp),
                 lambda op: (op[1], op[2], op[3]),
                 (collapsed, e, f1, g1, dflat, aflat, kk, qrows))
             aR, dR, wR = a2, d2, w2
@@ -412,9 +432,27 @@ def _compact_records(mask, es, fs, gs):
     return jnp.stack([si, se, sf, sg])
 
 
+_REC_HEAD = 4096   # records fetched speculatively with the segment header
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pack_segment_results(mask, es, fs, gs, e, f, g, k):
+    """One-transfer segment summary: [nrec, e|f|g flush carry, first k
+    compacted records] as a flat int32 vector."""
+    recs = _compact_records(mask, es, fs, gs)
+    nrec = jnp.sum(mask).astype(jnp.int32)
+    return jnp.concatenate([nrec[None], e, f, g, recs[:, :k].reshape(-1)])
+
+
 @jax.jit
 def _gather_flat(table, idx):
     return table.reshape(-1)[idx]
+
+
+@jax.jit
+def _gather_two(t1, idx1, t2, idx2):
+    """Two flat gathers fetched as one transfer."""
+    return jnp.concatenate([t1.reshape(-1)[idx1], t2.reshape(-1)[idx2]])
 
 
 @jax.jit
@@ -585,70 +623,93 @@ class DeviceMatcher:
         out_rows: list[np.ndarray] = []
         for seg in range(self.nseg):
             base = seg * self.gseg * GROUP
+            last = seg == self.nseg - 1
             Wd = self.W_all[seg * self.gseg:(seg + 1) * self.gseg]
             qd = jnp.asarray(qcols[base:base + self.gseg * GROUP])
             carry, mask, es, fs, gs, snaps = match_scan_segment(
                 Wd, qd, xq_words, self.xp_words, carry)
-            nrec = int(jnp.sum(mask))
-            if nrec:
+            # one transfer: record count, flush carry, leading records
+            khead = min(_REC_HEAD, self.gseg * GROUP * Q)
+            packed = np.asarray(_pack_segment_results(
+                mask, es, fs, gs, carry[2], carry[3], carry[4], k=khead))
+            nrec = int(packed[0])
+            e_h, f_h, g_h = packed[1:1 + 3 * Q].reshape(3, Q)
+            rec = packed[1 + 3 * Q:].reshape(4, khead)
+            if nrec > khead:                      # rare: fetch the tail
                 recs = _compact_records(mask, es, fs, gs)
                 npad = min(_pow2_pad(nrec), int(recs.shape[1]))
-                si_h, se_h, sf_h, sg_h = np.asarray(recs[:, :npad])[:, :nrec]
-                out_rows.append(_expand_records_device(
-                    snaps, si_h, se_h, sf_h, sg_h, base, Q, Mp))
-        # k = N flush of still-open intervals, expanded from the final a
-        a_end = carry[0]
-        e_h, f_h, g_h = np.asarray(jnp.stack([carry[2], carry[3], carry[4]]))
-        widths = (g_h.astype(np.int64) - f_h).clip(min=0)
-        total = int(widths.sum())
-        if total:
-            starts = np.repeat(f_h, widths)
-            offs = np.arange(total) - np.repeat(
-                np.concatenate([[0], np.cumsum(widths)[:-1]]), widths)
-            idx = starts + offs
-            npad = _pow2_pad(total)
-            idxp = np.zeros(npad, np.int32)
-            idxp[:total] = idx
-            ids = np.asarray(_gather_flat(a_end, jnp.asarray(idxp)))[:total]
-            rows = np.empty((total, 4), np.int32)
-            rows[:, 0] = np.repeat(np.arange(Q), widths)
-            rows[:, 1] = ids
-            rows[:, 2] = np.repeat(e_h, widths)
-            rows[:, 3] = N
-            out_rows.append(rows)
+                rec = np.asarray(recs[:, :npad])
+            si_h, se_h, sf_h, sg_h = rec[:, :nrec]
+
+            # build both gather index sets, run them in one device call
+            rec_idx, rec_meta = self._record_indices(si_h, se_h, sf_h, sg_h,
+                                                     base, Q, Mp)
+            if last:
+                fl_idx, fl_meta = self._flush_indices(e_h, f_h, g_h, N, Q)
+            else:
+                fl_idx = np.empty(0, np.int64)
+                fl_meta = None
+            n1, n2 = len(rec_idx), len(fl_idx)
+            if n1 + n2:
+                p1 = _pow2_pad(max(n1, 1))
+                p2 = _pow2_pad(max(n2, 1)) if n2 else 1
+                i1 = np.zeros(p1, np.int32)
+                i1[:n1] = rec_idx
+                i2 = np.zeros(p2, np.int32)
+                i2[:n2] = fl_idx
+                ids = np.asarray(_gather_two(snaps, jnp.asarray(i1),
+                                             carry[0], jnp.asarray(i2)))
+                if n1:
+                    rows = rec_meta
+                    rows[:, 1] = ids[:p1][:n1]
+                    out_rows.append(rows)
+                if n2:
+                    rows = fl_meta
+                    rows[:, 1] = ids[p1:][:n2]
+                    out_rows.append(rows)
         if not out_rows:
             return []
         allrows = np.concatenate(out_rows)
         allrows = allrows[allrows[:, 1] < M]
         return [tuple(int(v) for v in row) for row in allrows]
 
+    @staticmethod
+    def _record_indices(si, se, sf, sg, base, Q, Mp):
+        """Flat snapshot indices + (q, ., e, k) row skeleton for records."""
+        nrec = si.shape[0]
+        k_loc = (si // Q).astype(np.int64)
+        q = (si % Q).astype(np.int32)
+        widths = (sg.astype(np.int64) - sf).clip(min=0)
+        total = int(widths.sum())
+        if total == 0:
+            return np.empty(0, np.int64), None
+        rec_of_row = np.repeat(np.arange(nrec), widths)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(widths)[:-1]]), widths)
+        flat = k_loc[rec_of_row] * Mp + sf[rec_of_row] + offs
+        rows = np.empty((total, 4), np.int32)
+        rows[:, 0] = q[rec_of_row]
+        rows[:, 2] = se[rec_of_row]
+        rows[:, 3] = base + k_loc[rec_of_row]
+        return flat, rows
+
+    @staticmethod
+    def _flush_indices(e_h, f_h, g_h, N, Q):
+        """Indices into the final prefix array for the k = N flush."""
+        widths = (g_h.astype(np.int64) - f_h).clip(min=0)
+        total = int(widths.sum())
+        if total == 0:
+            return np.empty(0, np.int64), None
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(widths)[:-1]]), widths)
+        idx = np.repeat(f_h, widths) + offs
+        rows = np.empty((total, 4), np.int32)
+        rows[:, 0] = np.repeat(np.arange(Q), widths)
+        rows[:, 2] = np.repeat(e_h, widths)
+        rows[:, 3] = N
+        return idx, rows
+
 
 def _match_queries_tpu(Xp: np.ndarray, Xq: np.ndarray):
     """One-shot wrapper over DeviceMatcher (panel upload included)."""
     return DeviceMatcher(Xp).match(Xq)
-
-
-def _expand_records_device(snaps, si, se, sf, sg, base, Q, Mp):
-    """Expand segment collapse records [f, g) to hap ids via one device
-    gather from the per-site prefix-array snapshots."""
-    nrec = si.shape[0]
-    k_loc = (si // Q).astype(np.int64)
-    q = (si % Q).astype(np.int32)
-    widths = (sg.astype(np.int64) - sf).clip(min=0)
-    total = int(widths.sum())
-    if total == 0:
-        return np.empty((0, 4), np.int32)
-    rec_of_row = np.repeat(np.arange(nrec), widths)
-    offs = np.arange(total) - np.repeat(
-        np.concatenate([[0], np.cumsum(widths)[:-1]]), widths)
-    flat = k_loc[rec_of_row] * Mp + sf[rec_of_row] + offs
-    npad = _pow2_pad(total)
-    idxp = np.zeros(npad, np.int32)
-    idxp[:total] = flat.astype(np.int32)
-    ids = np.asarray(_gather_flat(snaps, jnp.asarray(idxp)))[:total]
-    rows = np.empty((total, 4), np.int32)
-    rows[:, 0] = q[rec_of_row]
-    rows[:, 1] = ids
-    rows[:, 2] = se[rec_of_row]
-    rows[:, 3] = base + k_loc[rec_of_row]
-    return rows
