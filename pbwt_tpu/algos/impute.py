@@ -213,8 +213,31 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
         for k_ref in range(p_ref.N):
             ref_sites[k_ref].refFreq = float(ref_freq[k_ref])
         T, Nref = p_old.M, p_ref.N
+        import os
+        use_device = False
+        if os.environ.get("PBWT_TPU_DEVICE"):
+            import jax
+            try:
+                use_device = jax.default_backend() == "tpu"
+            except RuntimeError:
+                use_device = False
         lib = native.get_lib()
-        if lib is not None:
+        if use_device:
+            from ..ops import enable_compilation_cache
+            from ..ops.impute_jax import impute_dosages_device
+            enable_compilation_cache()
+            segs = [(j, jr, s_, e_) for j in range(T)
+                    for jr, s_, e_ in max_match[j][:-1]]
+            segments = (np.asarray(segs, np.int64) if segs
+                        else np.zeros((0, 4), np.int64))
+            x_all, dos_all, voted = impute_dosages_device(
+                segments, T, Xref_nat, kold_of_kref, ref_freq)
+            n_conflicts = int((~voted).sum())
+            nvote = voted.sum(axis=0)
+            psums = np.where(voted, dos_all, 0.0).sum(axis=0)
+            xsums = np.where(voted, x_all, 0).sum(axis=0).astype(np.float64)
+            pxsums = np.where(voted, dos_all * x_all, 0.0).sum(axis=0)
+        elif lib is not None:
             segs = [(j, jr, s_, e_) for j in range(T)
                     for jr, s_, e_ in max_match[j][:-1]]
             segs = (np.asarray(segs, np.int64) if segs

@@ -51,6 +51,91 @@ def _collect_match_arrays(p: PBWT):
             seg_off)
 
 
+def _paint_device(p: PBWT, cpr: int, map_ih: np.ndarray, n_inds: int):
+    """Device route for paintAncestryMatrix: chunkcount/chunklength totals
+    from the dense site pass (ops/paint_jax), with the reference's region
+    bookkeeping (pbwtPaint.c:95-108) reconstructed exactly from per-segment
+    chunkcount prefixes at the region-boundary sites.
+
+    A region closes at the while-loop advance of segment t when
+    (1+t) % chunksperregion == 0, at site b = max(end_t, 1) (<= N-1);
+    part_counts over a region are per-segment prefix differences, with
+    closed forms for segments fully before/after the window.
+    """
+    from ..ops import enable_compilation_cache
+    from ..ops.paint_jax import paint_totals_device
+    enable_compilation_cache()
+    sj, ss, se, seg_off = _collect_match_arrays(p)
+    M, N = p.M, p.N
+    seg_rec = np.repeat(np.arange(M), np.diff(seg_off))
+    segments = np.stack([seg_rec, sj, ss, se], axis=1).astype(np.int64)
+
+    # region-close boundaries per recipient + needed prefix requests
+    closes: list[list[int]] = [[] for _ in range(M)]
+    requests: list[tuple[int, int]] = []
+    req_pos: dict[tuple[int, int], int] = {}
+    for i in range(M):
+        lo, hi = int(seg_off[i]), int(seg_off[i + 1])
+        if hi - lo <= 1:
+            continue
+        ends = se[lo:hi]
+        for t in range(hi - lo - 1):
+            b = max(int(ends[t]), 1)
+            if b > N - 1:
+                break
+            if (1 + t) % cpr == 0:
+                closes[i].append(b)
+                for r in range(lo, hi):
+                    s_, e_ = int(ss[r]), int(se[r])
+                    is_last = r == hi - 1
+                    if s_ + 1 < b and (b < e_ or is_last) \
+                            and map_ih[sj[r]] != map_ih[i]:
+                        if (r, b) not in req_pos:
+                            req_pos[(r, b)] = len(requests)
+                            requests.append((r, b))
+    pairs = (np.asarray(requests, np.int64) if requests
+             else np.zeros((0, 2), np.int64))
+    c_hap, l_hap, seg_tot, pref = paint_totals_device(
+        segments, M, N, map_ih, pairs=pairs)
+
+    counts = np.zeros((n_inds, n_inds))
+    totlengths = np.zeros((n_inds, n_inds))
+    np.add.at(counts, map_ih, c_hap)
+    np.add.at(totlengths, map_ih, l_hap)
+
+    counts2 = np.zeros((n_inds, n_inds))
+    counts3 = np.zeros((n_inds, n_inds))
+    nregions = np.zeros(n_inds)
+
+    def prefix_at(r, b):
+        s_, e_ = int(ss[r]), int(se[r])
+        is_last = r == int(seg_off[seg_rec[r] + 1]) - 1
+        if b <= s_ + 1:
+            return 0.0
+        if b >= e_ and not is_last:
+            return seg_tot[r]
+        return pref[req_pos[(r, b)]]
+
+    for i in range(M):
+        if not closes[i]:
+            continue
+        lo, hi = int(seg_off[i]), int(seg_off[i + 1])
+        me = int(map_ih[i])
+        prev = np.zeros(hi - lo)
+        part = np.zeros(n_inds)
+        for b in closes[i]:
+            cur = np.array([prefix_at(r, b) if map_ih[sj[r]] != me else 0.0
+                            for r in range(lo, hi)])
+            part[:] = 0.0
+            np.add.at(part, map_ih[sj[lo:hi]], cur - prev)
+            mask = np.arange(n_inds) != me
+            counts2[me][mask] += part[mask] ** 2
+            counts3[me][mask] += part[mask]
+            nregions[me] += 1.0
+            prev = cur
+    return counts, totlengths, counts2, counts3, nregions
+
+
 def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
                           ploidy: int = 2, outputlocal: int = 0) -> None:
     """paintAncestryMatrix (pbwtPaint.c:56-209)."""
@@ -70,9 +155,21 @@ def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
         flp = fopen_tag(file_root, "localancestry.out", "w")
         flp.write("pos" + "".join(f" IND{i + 1}" for i in range(n_inds)) + "\n")
 
+    import os
+    use_device = False
+    if os.environ.get("PBWT_TPU_DEVICE") and not outputlocal:
+        import jax
+        try:
+            use_device = jax.default_backend() == "tpu"
+        except RuntimeError:
+            use_device = False
+
     from ..core import native
     lib = native.get_lib()
-    if lib is not None and not outputlocal:
+    if use_device:
+        counts, totlengths, counts2, counts3, nregions = _paint_device(
+            p, chunksperregion, map_ih, n_inds)
+    elif lib is not None and not outputlocal:
         sj, ss, se, seg_off = _collect_match_arrays(p)
         lib.paint_accumulate(
             sj, ss, se,

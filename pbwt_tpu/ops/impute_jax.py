@@ -67,7 +67,8 @@ def impute_dosages_device(segments: np.ndarray, n_targets: int,
                   the serial loop would hold at that site)
     ref_freq:  (Nref,) fallback allele frequency per site
 
-    Returns (x, dosage): (T, Nref) imputed alleles uint8 and posterior f64.
+    Returns (x, dosage, voted): (T, Nref) imputed alleles uint8, posterior
+    f64, and the covered-by-any-match mask.
     """
     nseg = len(segments)
     T = n_targets
@@ -85,6 +86,7 @@ def impute_dosages_device(segments: np.ndarray, n_targets: int,
     kold = np.asarray(kold_of_kref, np.int32)
 
     dosage = np.empty((T, Nref), np.float64)
+    voted = np.empty((T, Nref), bool)
     for c0 in range(0, Nref, chunk):
         c1 = min(c0 + chunk, Nref)
         width = c1 - c0
@@ -99,6 +101,8 @@ def impute_dosages_device(segments: np.ndarray, n_targets: int,
         with np.errstate(invalid="ignore", divide="ignore"):
             pj = score / ssum
         fallback = np.broadcast_to(ref_freq[c0:c1], (T, width))
-        dosage[:, c0:c1] = np.where(ssum > 0, pj, fallback)
+        v = ssum > 0
+        dosage[:, c0:c1] = np.where(v, pj, fallback)
+        voted[:, c0:c1] = v
     x = (dosage > 0.5).astype(np.uint8)
-    return x, dosage
+    return x, dosage, voted

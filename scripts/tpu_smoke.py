@@ -145,6 +145,87 @@ def check_match_dynamic_route():
           f"({host_out.count(chr(10))} lines)")
 
 
+def check_impute_paint_routes():
+    """PBWT_TPU_DEVICE=1 referenceImpute3 and paint == host outputs."""
+    import os
+    import tempfile
+
+    from pbwt_tpu.algos import impute as himp
+    from pbwt_tpu.algos import paint as hpaint
+    from pbwt_tpu.core import registry
+    from pbwt_tpu.core.pbwt import PBWT, Site
+
+    rng = np.random.RandomState(21)
+    N = 160
+    F = (rng.random_sample((6, N)) < 0.4).astype(np.uint8)
+
+    def mosaic(seed, M):
+        r = np.random.RandomState(seed)
+        X = np.empty((M, N), np.uint8)
+        for i in range(M):
+            f = r.randint(6)
+            for k in range(N):
+                if r.random_sample() < 0.03:
+                    f = r.randint(6)
+                X[i, k] = F[f, k]
+        return X
+
+    Xref = mosaic(1, 40)
+    Xq = mosaic(2, 6)
+    vid = registry.variation("A", "C")
+    sites = [Site(x=100 + 7 * i, varD=vid) for i in range(N)]
+    fidx = np.sort(rng.choice(N, N // 2, replace=False))
+
+    def run_impute():
+        p_ref = PBWT.from_haplotypes(Xref, chrom="1",
+                                     sites=[s.copy() for s in sites])
+        p_frame = PBWT.from_haplotypes(
+            Xref[:, fidx], chrom="1", sites=[sites[i].copy() for i in fidx])
+        p_old = PBWT.from_haplotypes(
+            Xq[:, fidx], chrom="1", sites=[sites[i].copy() for i in fidx])
+        pn = himp.reference_impute3(p_old, p_ref, p_frame)
+        return (pn.haplotypes().tobytes(), pn.zDosage,
+                tuple(round(s.imputeInfo, 9) for s in p_ref.sites))
+
+    prev = os.environ.pop("PBWT_TPU_DEVICE", None)
+    host = run_impute()
+    os.environ["PBWT_TPU_DEVICE"] = "1"
+    try:
+        dev = run_impute()
+        assert dev[0] == host[0], "imputed haplotypes differ"
+        assert dev[1] == host[1], "dosage bytes differ"
+        assert dev[2] == host[2], "imputeInfo differs"
+        print("PASS referenceImpute device route == host")
+
+        Xp = mosaic(3, 24)
+        pp_ = PBWT.from_haplotypes(Xp, chrom="1",
+                                   sites=[s.copy() for s in sites])
+        files = ("chunkcounts.out", "chunklengths.out",
+                 "regionsquaredchunkcounts.out", "regionchunkcounts.out")
+        with tempfile.TemporaryDirectory() as td:
+            os.environ.pop("PBWT_TPU_DEVICE", None)
+            hpaint.paint_ancestry_matrix(pp_, f"{td}/host", 5)
+            os.environ["PBWT_TPU_DEVICE"] = "1"
+            hpaint.paint_ancestry_matrix(pp_, f"{td}/dev", 5)
+            for t in files:
+                a = open(f"{td}/host.{t}").read().split()
+                b = open(f"{td}/dev.{t}").read().split()
+                assert len(a) == len(b), f"paint {t} shape differs"
+                for x, y in zip(a, b):
+                    if x == y:
+                        continue
+                    # device accumulation is f32: the last printed digit
+                    # may differ on half-ulp ties (see PARITY.md)
+                    assert abs(float(x) - float(y)) <= 2e-4, \
+                        f"paint {t}: {x} vs {y}"
+        print("PASS paint device route ~= host (f32 print-precision)")
+    finally:
+        if prev is None:
+            os.environ.pop("PBWT_TPU_DEVICE", None)
+        else:
+            os.environ["PBWT_TPU_DEVICE"] = prev
+
+
 if __name__ == "__main__":
     import jax
     if jax.default_backend() != "tpu":
@@ -153,4 +234,5 @@ if __name__ == "__main__":
     check_ad_kernel()
     check_matcher()
     check_match_dynamic_route()
+    check_impute_paint_routes()
     print("ALL TPU SMOKE CHECKS PASSED")

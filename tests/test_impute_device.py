@@ -68,8 +68,8 @@ def test_device_impute_matches_host():
             ko += 1
         kold[k] = ko
     ref_freq = Xref.mean(axis=0)
-    x_dev, dos_dev = impute_dosages_device(segments, p_old.M, Xref, kold,
-                                           ref_freq)
+    x_dev, dos_dev, voted = impute_dosages_device(segments, p_old.M, Xref,
+                                                  kold, ref_freq)
     assert (x_dev == X_host).all()
     # quantised dosages identical (float path may differ by ulps)
     assert (himp.dosage_encode(dos_dev.reshape(-1))

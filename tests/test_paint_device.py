@@ -60,7 +60,21 @@ def test_device_paint_matches_reference_loop():
     c_host, l_host = host_paint_totals(max_match, M, N, map_ih)
     segs = np.array([(i, j, s, e) for i in range(M)
                      for (j, s, e) in max_match[i]], np.int64)
-    c_dev, l_dev = paint_totals_device(segs, M, N, map_ih, chunk=32)
+    c_dev, l_dev, seg_tot, _ = paint_totals_device(segs, M, N, map_ih,
+                                                   chunk=32)
     assert np.allclose(c_dev, c_host, rtol=1e-5, atol=1e-8), \
         np.abs(c_dev - c_host).max()
     assert np.allclose(l_dev, l_host, rtol=1e-5, atol=1e-8)
+    # per-segment totals regroup to the same matrices
+    regroup = np.zeros_like(c_dev)
+    np.add.at(regroup, (segs[:, 0], map_ih[segs[:, 1]]), seg_tot)
+    assert np.allclose(regroup, c_dev, rtol=1e-6, atol=1e-9)
+    # boundary prefixes: prefix at N equals the segment total; prefix
+    # midway splits consistently
+    pairs = np.array([(r, N) for r in range(len(segs))]
+                     + [(r, N // 2) for r in range(len(segs))], np.int64)
+    _, _, seg_tot2, pref = paint_totals_device(segs, M, N, map_ih,
+                                               chunk=32, pairs=pairs)
+    B = len(segs)
+    assert np.allclose(pref[:B], seg_tot2, rtol=1e-5, atol=1e-8)
+    assert (pref[B:] <= pref[:B] + 1e-6).all()
