@@ -91,6 +91,45 @@ EXPORT long p3_decode_cols(const uint8_t *yz, long nz, long ncols, long M,
     return pos;
 }
 
+/* streaming column source: either a dense (N, M) sorted-column matrix or
+   a pack3 stream decoded one column at a time into a reusable buffer
+   (the reference's cursor memory model, pbwtCore.c:527-585: O(M) live
+   bytes regardless of N) */
+typedef struct {
+    const uint8_t *dense;   /* (N, M) site-major, or NULL */
+    const uint8_t *yz;      /* pack3 stream, or NULL */
+    long pos, nz, M;
+    uint8_t *buf;           /* M bytes scratch for packed decode */
+} colsrc;
+
+static const uint8_t *cs_next(colsrc *cs, long k)
+{
+    if (cs->dense) return cs->dense + k * cs->M;
+    if (!p3dec_ready) p3dec_init();
+    long m = 0;
+    while (m < cs->M) {
+        if (cs->pos >= cs->nz) return NULL;
+        uint8_t b = cs->yz[cs->pos++];
+        long n = p3dec[b & 0x7f];
+        if (m + n > cs->M) return NULL;
+        memset(cs->buf + m, b >> 7, n);
+        m += n;
+    }
+    return cs->buf;
+}
+
+static void cs_dense(colsrc *cs, const uint8_t *Y, long M)
+{ cs->dense = Y; cs->yz = NULL; cs->pos = 0; cs->nz = 0; cs->M = M; cs->buf = NULL; }
+
+static int cs_packed(colsrc *cs, const uint8_t *yz, long nz, long M)
+{
+    cs->dense = NULL; cs->yz = yz; cs->pos = 0; cs->nz = nz; cs->M = M;
+    cs->buf = (uint8_t *)malloc(M);
+    return cs->buf != NULL;
+}
+
+static void cs_free(colsrc *cs) { free(cs->buf); }
+
 /* ------------------------------------------------------------------ */
 /* column updates (algorithms 1 and 2)                                 */
 /* ------------------------------------------------------------------ */
@@ -597,8 +636,8 @@ EXPORT long expand_records_mt(const uint8_t *ybits, long stride,
    sorted columns Ysort (N, M).  Reports (ai, bi, start, end) quadruples in
    the same order as the reference scan; returns count (writes at most cap
    rows so callers can size-and-retry). */
-EXPORT long max_within(const uint8_t *Ysort, long M, long N,
-                       const int32_t *a0, int64_t *out, long cap)
+static long max_within_impl(colsrc *cs, long M, long N,
+                            const int32_t *a0, int64_t *out, long cap)
 {
     int32_t *a = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *d = (int32_t *)calloc(M + 1, sizeof(int32_t));
@@ -609,7 +648,8 @@ EXPORT long max_within(const uint8_t *Ysort, long M, long N,
     long nrep = 0;
     static const uint8_t yz_zero = 0;
     for (long kk = 0; kk <= N; ++kk) {
-        const uint8_t *y = kk < N ? Ysort + kk * M : &yz_zero; /* y unused at N */
+        const uint8_t *y = kk < N ? cs_next(cs, kk) : &yz_zero; /* unused at N */
+        if (!y) { nrep = -1; break; }
         for (long i = 0; i < M; ++i) {
             long m = i - 1, n = i + 1;
             if (d[i] <= d[i + 1]) {          /* scan up */
@@ -648,12 +688,31 @@ EXPORT long max_within(const uint8_t *Ysort, long M, long N,
     return nrep;
 }
 
+EXPORT long max_within(const uint8_t *Ysort, long M, long N,
+                       const int32_t *a0, int64_t *out, long cap)
+{
+    colsrc cs;
+    cs_dense(&cs, Ysort, M);
+    return max_within_impl(&cs, M, N, a0, out, cap);
+}
+
+/* streaming variant: one column of the pack3 stream live at a time */
+EXPORT long max_within_packed(const uint8_t *yz, long nz, long M, long N,
+                              const int32_t *a0, int64_t *out, long cap)
+{
+    colsrc cs;
+    if (!cs_packed(&cs, yz, nz, M)) return -1;
+    long n = max_within_impl(&cs, M, N, a0, out, cap);
+    cs_free(&cs);
+    return n;
+}
+
 /* long matches > T within a panel (matchLongWithin2, pbwtMatch.c:85-113):
    block scan over divergence runs; at k == N the last column's values
    stay in y (the reference reads past the end and compares stale
    alleles). Reports (ai, bi, start, end); returns count. */
-EXPORT long long_within(const uint8_t *Ysort, long M, long N, long T,
-                        const int32_t *a0, int64_t *out, long cap)
+static long long_within_impl(colsrc *cs, long M, long N, long T,
+                             const int32_t *a0, int64_t *out, long cap)
 {
     int32_t *a = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *d = (int32_t *)calloc(M + 1, sizeof(int32_t));
@@ -662,8 +721,10 @@ EXPORT long long_within(const uint8_t *Ysort, long M, long N, long T,
     memcpy(a, a0, M * sizeof(int32_t));
     d[0] = 1; d[M] = 1;
     long nrep = 0;
+    const uint8_t *y = NULL;
     for (long kk = 0; kk <= N; ++kk) {
-        const uint8_t *y = Ysort + (kk < N ? kk : N - 1) * M;
+        if (kk < N) y = cs_next(cs, kk);   /* at N the last column persists */
+        if (!y) { nrep = -1; break; }
         long i0 = 0, na = 0, nb = 0;
         for (long i = 0; i < M; ++i) {
             if (d[i] > kk - T) {
@@ -693,12 +754,31 @@ EXPORT long long_within(const uint8_t *Ysort, long M, long N, long T,
     return nrep;
 }
 
+EXPORT long long_within(const uint8_t *Ysort, long M, long N, long T,
+                        const int32_t *a0, int64_t *out, long cap)
+{
+    colsrc cs;
+    cs_dense(&cs, Ysort, M);
+    return long_within_impl(&cs, M, N, T, a0, out, cap);
+}
+
+EXPORT long long_within_packed(const uint8_t *yz, long nz, long M, long N,
+                               long T, const int32_t *a0, int64_t *out,
+                               long cap)
+{
+    colsrc cs;
+    if (!cs_packed(&cs, yz, nz, M)) return -1;
+    long n = long_within_impl(&cs, M, N, T, a0, out, cap);
+    cs_free(&cs);
+    return n;
+}
+
 /* dynamic sweep matching of queries against a panel (the production
    matcher).  Ysp/Ysq are sorted-order columns of panel and query pbwts.
    Reports (query, panel_hap, start, end) rows; returns count. */
-EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
-                        long Q, long N, const int32_t *ap0, const int32_t *aq0,
-                        int64_t *out, long cap)
+static long sweep_match_impl(colsrc *csp, long M, colsrc *csq,
+                             long Q, long N, const int32_t *ap0,
+                             const int32_t *aq0, int64_t *out, long cap)
 {
     int32_t *ap = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *dp = (int32_t *)calloc(M + 1, sizeof(int32_t));
@@ -725,8 +805,9 @@ EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
     } while (0)
 
     for (long kk = 0; kk < N; ++kk) {
-        const uint8_t *yp = Ysp + kk * M;
-        const uint8_t *yq = Ysq + kk * Q;
+        const uint8_t *yp = cs_next(csp, kk);
+        const uint8_t *yq = cs_next(csq, kk);
+        if (!yp || !yq) { nrep = -1; break; }
         for (long j = 0; j < Q; ++j) {
             long jj = aq[j];
             uint8_t x = yq[j];
@@ -799,15 +880,137 @@ EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
         }
         fwd_a(aq, yq, ones, Q);
     }
-    for (long j = 0; j < Q; ++j) {
-        long jj = aq[j];
-        REPORT(jj, ap[f[jj]], dq[jj], N);
-        for (long i = f[jj] + 1; i < M && dp[i] <= dq[jj]; ++i)
-            REPORT(jj, ap[i], dq[jj], N);
-    }
+    if (nrep >= 0)
+        for (long j = 0; j < Q; ++j) {
+            long jj = aq[j];
+            REPORT(jj, ap[f[jj]], dq[jj], N);
+            for (long i = f[jj] + 1; i < M && dp[i] <= dq[jj]; ++i)
+                REPORT(jj, ap[i], dq[jj], N);
+        }
 #undef REPORT
     free(ap); free(dp); free(ap2); free(dp2);
     free(aq); free(ones); free(dones); free(u);
     free(f); free(dq);
     return nrep;
+}
+
+EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
+                        long Q, long N, const int32_t *ap0,
+                        const int32_t *aq0, int64_t *out, long cap)
+{
+    colsrc cp, cq;
+    cs_dense(&cp, Ysp, M);
+    cs_dense(&cq, Ysq, Q);
+    return sweep_match_impl(&cp, M, &cq, Q, N, ap0, aq0, out, cap);
+}
+
+EXPORT long sweep_match_packed(const uint8_t *yzp, long nzp, long M,
+                               const uint8_t *yzq, long nzq, long Q, long N,
+                               const int32_t *ap0, const int32_t *aq0,
+                               int64_t *out, long cap)
+{
+    colsrc cp, cq;
+    if (!cs_packed(&cp, yzp, nzp, M)) return -1;
+    if (!cs_packed(&cq, yzq, nzq, Q)) { cs_free(&cp); return -1; }
+    long n = sweep_match_impl(&cp, M, &cq, Q, N, ap0, aq0, out, cap);
+    cs_free(&cp); cs_free(&cq);
+    return n;
+}
+
+/* per-column zero counts straight off the run-length bytes (no decode) */
+EXPORT long col_counts(const uint8_t *yz, long nz, long M, long N,
+                       int64_t *c0out)
+{
+    if (!p3dec_ready) p3dec_init();
+    long pos = 0;
+    for (long k = 0; k < N; ++k) {
+        long m = 0, c0 = 0;
+        while (m < M) {
+            if (pos >= nz) return -1;
+            uint8_t b = yz[pos++];
+            long n = p3dec[b & 0x7f];
+            if (!(b >> 7)) c0 += n;
+            m += n;
+        }
+        if (m != M) return -1;
+        c0out[k] = c0;
+    }
+    return pos;
+}
+
+/* stream a packed pbwt re-PBWTing a row (haplotype) selection: new column
+   i copies old haplotype select[i] (pbwtSubSample, pbwtSample.c:59-93).
+   Same cap/return convention as select_repack. */
+EXPORT long subsample_repack(const uint8_t *yz, long nz, long M, long N,
+                             const int64_t *select, long Mnew,
+                             const int32_t *a0, uint8_t *out, long cap,
+                             int32_t *a_end)
+{
+    colsrc cs;
+    if (!cs_packed(&cs, yz, nz, M)) return -1;
+    long Mx = M > Mnew ? M : Mnew;
+    int32_t *a_src = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *a_dst = (int32_t *)malloc(Mnew * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(Mx * sizeof(int32_t));
+    uint8_t *x = (uint8_t *)malloc(M);
+    uint8_t *y2 = (uint8_t *)malloc(Mnew);
+    uint8_t *enc = (uint8_t *)malloc(Mnew + 8);
+    memcpy(a_src, a0, M * sizeof(int32_t));
+    for (long i = 0; i < Mnew; ++i) a_dst[i] = (int32_t)i;
+    long total = 0;
+    for (long k = 0; k < N; ++k) {
+        const uint8_t *y = cs_next(&cs, k);
+        if (!y) { total = -1; break; }
+        for (long i = 0; i < M; ++i) x[a_src[i]] = y[i];
+        for (long i = 0; i < Mnew; ++i) y2[i] = x[select[a_dst[i]]];
+        long nb = p3_encode(y2, Mnew, enc);
+        if (total + nb <= cap) memcpy(out + total, enc, nb);
+        total += nb;
+        fwd_a(a_dst, y2, ones, Mnew);
+        fwd_a(a_src, y, ones, M);
+    }
+    if (total >= 0 && a_end) memcpy(a_end, a_dst, Mnew * sizeof(int32_t));
+    cs_free(&cs);
+    free(a_src); free(a_dst); free(ones); free(x); free(y2); free(enc);
+    return total;
+}
+
+/* stream a packed pbwt selecting sites keep[k] != 0 and re-PBWT the kept
+   columns under a fresh identity cursor (the streaming core of
+   pbwtSubSites/SelectSites/SubRange/RemoveSites, pbwtCore.c:71-147):
+   O(M) live memory.  Writes at most cap bytes of the new pack3 stream,
+   returns the full needed length (caller retries with a bigger buffer if
+   the return exceeds cap), and fills a_end with the final prefix array. */
+EXPORT long select_repack(const uint8_t *yz, long nz, long M, long N,
+                          const uint8_t *keep, const int32_t *a0,
+                          uint8_t *out, long cap, int32_t *a_end)
+{
+    colsrc cs;
+    if (!cs_packed(&cs, yz, nz, M)) return -1;
+    int32_t *a_src = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *a_dst = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    uint8_t *x = (uint8_t *)malloc(M);
+    uint8_t *y2 = (uint8_t *)malloc(M);
+    uint8_t *enc = (uint8_t *)malloc(M + 8);
+    memcpy(a_src, a0, M * sizeof(int32_t));
+    for (long i = 0; i < M; ++i) a_dst[i] = (int32_t)i;
+    long total = 0;
+    for (long k = 0; k < N; ++k) {
+        const uint8_t *y = cs_next(&cs, k);
+        if (!y) { total = -1; break; }
+        if (keep[k]) {
+            for (long i = 0; i < M; ++i) x[a_src[i]] = y[i];
+            for (long i = 0; i < M; ++i) y2[i] = x[a_dst[i]];
+            long nb = p3_encode(y2, M, enc);
+            if (total + nb <= cap) memcpy(out + total, enc, nb);
+            total += nb;
+            fwd_a(a_dst, y2, ones, M);
+        }
+        fwd_a(a_src, y, ones, M);
+    }
+    if (total >= 0 && a_end) memcpy(a_end, a_dst, M * sizeof(int32_t));
+    cs_free(&cs);
+    free(a_src); free(a_dst); free(ones); free(x); free(y2); free(enc);
+    return total;
 }

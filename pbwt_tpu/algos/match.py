@@ -78,7 +78,10 @@ def match_maximal_within(p: PBWT, report) -> None:
     """
     from ..core import native
     a0 = p.aFstart if p.aFstart is not None else np.arange(p.M, dtype=np.int32)
-    rows = native.max_within(p.decoded(True), a0)
+    # stream the pack3 bytes directly (O(M) live memory); fall back to the
+    # decoded matrix only when the packed stream is absent
+    rows = (native.max_within_packed(p.yz, p.M, p.N, a0) if p.yz
+            else native.max_within(p.decoded(True), a0))
     if rows is not None:
         for ai, bi, s, e in rows.tolist():
             report(ai, bi, s, e)
@@ -129,7 +132,8 @@ def match_long_within(p: PBWT, T: int, report) -> None:
     """Algorithm 3 variant with starts (matchLongWithin2, pbwtMatch.c:85-113)."""
     from ..core import native
     a0 = p.aFstart if p.aFstart is not None else np.arange(p.M, dtype=np.int32)
-    rows = native.long_within(p.decoded(True), T, a0)
+    rows = (native.long_within_packed(p.yz, T, p.M, p.N, a0) if p.yz
+            else native.long_within(p.decoded(True), T, a0))
     if rows is not None:
         for ai, bi, s, e in rows.tolist():
             report(ai, bi, s, e)
@@ -436,13 +440,13 @@ def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
                 f"{tot_len / (QM * N):.1f}")
             return
 
-    Yp = p.decoded(True)
-    Yq = q.decoded(True)
-
     from ..core import native
     ap0 = p.aFstart if p.aFstart is not None else np.arange(M, dtype=np.int32)
     aq0 = q.aFstart if q.aFstart is not None else np.arange(QM, dtype=np.int32)
-    rows = native.sweep_match(Yp, ap0, Yq, aq0)
+    if p.yz and q.yz:
+        rows = native.sweep_match_packed(p.yz, M, q.yz, QM, N, ap0, aq0)
+    else:
+        rows = native.sweep_match(p.decoded(True), ap0, q.decoded(True), aq0)
     if rows is not None:
         for ai, bi, s, e in rows.tolist():
             report(ai, bi, s, e)
@@ -454,6 +458,8 @@ def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
             f"{tot_len / (QM * N):.1f}")
         return
 
+    Yp = p.decoded(True)
+    Yq = q.decoded(True)
     up_a = ap0.copy()
     up_d = np.zeros(M + 1, dtype=np.int32)
     up_d[0] = 1

@@ -1,6 +1,7 @@
 """Multi-PBWT merge (pbwtMerge.c): synced positional walk over k pbwts,
 keeping only sites present in every file, concatenating haplotype columns
-and re-PBWTing the union panel."""
+and re-PBWTing the union panel.  Streaming: each input holds one decoded
+block at a time (pbwtMerge.c:78-127 keeps one column per reader)."""
 
 from __future__ import annotations
 
@@ -26,7 +27,6 @@ def merge(filenames: list[str]) -> PBWT:
             raise ValueError(f"Different chromosomes: {pbwts[0].chrom} vs {p.chrom}")
 
     vd = registry.variation_dict
-    Xs = [p.haplotypes() for p in pbwts]
     keys = [[(s.x, vd.name(s.varD)) for s in p.sites] for p in pbwts]
     ptr = [0] * len(pbwts)
     nhaps = sum(p.M for p in pbwts)
@@ -36,10 +36,12 @@ def merge(filenames: list[str]) -> PBWT:
     out.chrom = pbwts[0].chrom
     u = engine.WriteCursor(nhaps)
 
+    readers = [_NaturalColumns(p) for p in pbwts]
+
     while all(ptr[i] < len(keys[i]) for i in range(len(pbwts))):
         key = min(keys[i][ptr[i]] for i in range(len(pbwts)))
         if all(keys[i][ptr[i]] == key for i in range(len(pbwts))):
-            yseq = np.concatenate([Xs[i][:, ptr[i]] for i in range(len(pbwts))])
+            yseq = np.concatenate([readers[i].next() for i in range(len(pbwts))])
             u.write_natural(yseq)
             out.sites.append(Site(x=key[0], varD=vd.add(key[1])))
             out.N += 1
@@ -48,9 +50,35 @@ def merge(filenames: list[str]) -> PBWT:
         else:
             for i in range(len(pbwts)):
                 if keys[i][ptr[i]] == key:
+                    readers[i].next()         # consume the skipped column
                     ptr[i] += 1
 
     out.yz = u.packed()
     out.aFend = u.a.copy()
     log(f"merged {len(pbwts)} pbwts: M, N are {out.M}, {out.N}")
     return out
+
+
+class _NaturalColumns:
+    """Sequential natural-order column reader over a packed PBWT - one
+    block of sorted columns live at a time (the reference's synced
+    positional reader, pbwtMerge.c:9-127, keeps one column per file)."""
+
+    def __init__(self, p: PBWT, block: int = 1024):
+        self.p = p
+        self.a = (p.aFstart if p.aFstart is not None
+                  else np.arange(p.M, dtype=np.int32)).copy()
+        self._gen = p.stream_sorted(block)
+        self._buf = None
+        self._off = 0
+        self._x = np.empty(p.M, dtype=np.uint8)
+
+    def next(self) -> np.ndarray:
+        if self._buf is None or self._off >= self._buf.shape[0]:
+            _, self._buf = next(self._gen)
+            self._off = 0
+        y = self._buf[self._off]
+        self._off += 1
+        self._x[self.a] = y
+        self.a = engine.forwards_a(self.a, y)
+        return self._x

@@ -30,7 +30,8 @@ def _collect_match_arrays(p: PBWT):
     from ..core import native
     a0 = (p.aFstart if p.aFstart is not None
           else np.arange(p.M, dtype=np.int32))
-    rows = native.max_within(p.decoded(True), a0)
+    rows = (native.max_within_packed(p.yz, p.M, p.N, a0) if p.yz
+            else native.max_within(p.decoded(True), a0))
     if rows is None:
         mm = _collect_matches(p)
         segs = [(j, jr, s, e) for j, lst in enumerate(mm)

@@ -75,6 +75,20 @@ def get_lib():
     lib.long_within.argtypes = [u8p, L, L, L, i32p, i64p, L]
     lib.sweep_match.restype = L
     lib.sweep_match.argtypes = [u8p, L, u8p, L, L, i32p, i32p, i64p, L]
+    lib.max_within_packed.restype = L
+    lib.max_within_packed.argtypes = [u8p, L, L, L, i32p, i64p, L]
+    lib.long_within_packed.restype = L
+    lib.long_within_packed.argtypes = [u8p, L, L, L, L, i32p, i64p, L]
+    lib.sweep_match_packed.restype = L
+    lib.sweep_match_packed.argtypes = [u8p, L, L, u8p, L, L, L, i32p, i32p,
+                                       i64p, L]
+    lib.select_repack.restype = L
+    lib.select_repack.argtypes = [u8p, L, L, L, u8p, i32p, u8p, L, i32p]
+    lib.col_counts.restype = L
+    lib.col_counts.argtypes = [u8p, L, L, L, i64p]
+    lib.subsample_repack.restype = L
+    lib.subsample_repack.argtypes = [u8p, L, L, L, i64p, L, i32p, u8p, L,
+                                     i32p]
     lib.transpose_u8.restype = None
     lib.transpose_u8.argtypes = [u8p, L, L, u8p]
     lib.expand_records.restype = L
@@ -236,6 +250,122 @@ def long_within(Ysort: np.ndarray, T: int, a0: np.ndarray):
                             out.reshape(-1), cap)
         if n <= cap:
             return out[:n]
+        cap = n
+
+
+def max_within_packed(yz: bytes, M: int, N: int, a0: np.ndarray):
+    """max_within streaming the pack3 bytes directly (O(M) live memory,
+    like the reference cursor model); (n, 4) int64 rows or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.frombuffer(yz, np.uint8)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    cap = max(4096, 8 * M)
+    while True:
+        out = np.empty((cap, 4), np.int64)
+        n = lib.max_within_packed(z, len(z), M, N, a0, out.reshape(-1), cap)
+        if n < 0:
+            return None
+        if n <= cap:
+            return out[:n]
+        cap = n
+
+
+def long_within_packed(yz: bytes, T: int, M: int, N: int, a0: np.ndarray):
+    """long_within streaming the pack3 bytes; (n, 4) int64 rows or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.frombuffer(yz, np.uint8)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    cap = max(4096, 8 * M)
+    while True:
+        out = np.empty((cap, 4), np.int64)
+        n = lib.long_within_packed(z, len(z), M, N, T, a0,
+                                   out.reshape(-1), cap)
+        if n < 0:
+            return None
+        if n <= cap:
+            return out[:n]
+        cap = n
+
+
+def sweep_match_packed(yzp: bytes, M: int, yzq: bytes, Q: int, N: int,
+                       ap0: np.ndarray, aq0: np.ndarray):
+    """Dynamic sweep matcher streaming both pack3 streams; rows or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    zp = np.frombuffer(yzp, np.uint8)
+    zq = np.frombuffer(yzq, np.uint8)
+    ap0 = np.ascontiguousarray(ap0, np.int32)
+    aq0 = np.ascontiguousarray(aq0, np.int32)
+    cap = max(4096, 8 * Q + N)
+    while True:
+        out = np.empty((cap, 4), np.int64)
+        n = lib.sweep_match_packed(zp, len(zp), M, zq, len(zq), Q, N,
+                                   ap0, aq0, out.reshape(-1), cap)
+        if n < 0:
+            return None
+        if n <= cap:
+            return out[:n]
+        cap = n
+
+
+def select_repack(yz: bytes, M: int, N: int, keep: np.ndarray,
+                  a0: np.ndarray):
+    """Stream-select sites keep[k] != 0 and re-PBWT; (yz', a_end) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.frombuffer(yz, np.uint8)
+    keep = np.ascontiguousarray(keep, np.uint8)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    a_end = np.empty(M, np.int32)
+    cap = max(len(z) + 16, 4096)
+    while True:
+        out = np.empty(cap, np.uint8)
+        n = lib.select_repack(z, len(z), M, N, keep, a0, out, cap, a_end)
+        if n < 0:
+            return None
+        if n <= cap:
+            return out[:n].tobytes(), a_end
+        cap = n
+
+
+def col_counts(yz: bytes, M: int, N: int):
+    """Per-site zero counts straight off the run-length bytes, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.frombuffer(yz, np.uint8)
+    c0 = np.empty(N, np.int64)
+    if lib.col_counts(z, len(z), M, N, c0) < 0:
+        return None
+    return c0
+
+
+def subsample_repack(yz: bytes, M: int, N: int, select: np.ndarray,
+                     a0: np.ndarray):
+    """Stream-re-PBWT a haplotype selection; (yz', a_end) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.frombuffer(yz, np.uint8)
+    select = np.ascontiguousarray(select, np.int64)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    Mnew = len(select)
+    a_end = np.empty(Mnew, np.int32)
+    cap = max(len(z) + 16, 4096)
+    while True:
+        out = np.empty(cap, np.uint8)
+        n = lib.subsample_repack(z, len(z), M, N, select, Mnew, a0, out,
+                                 cap, a_end)
+        if n < 0:
+            return None
+        if n <= cap:
+            return out[:n].tobytes(), a_end
         cap = n
 
 

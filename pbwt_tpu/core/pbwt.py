@@ -94,6 +94,35 @@ class PBWT:
         a0 = self.aFstart if self.aFstart is not None else np.arange(self.M, dtype=np.int32)
         return engine.haplotypes_from_packed(self.decoded(True), a0)
 
+    def stream_sorted(self, block: int = 1024):
+        """Yield (k0, Yblock) sorted-column blocks of at most ``block``
+        sites, decoding the pack3 stream incrementally - O(M*block) live
+        memory, the streaming analogue of the reference's read cursor
+        (pbwtCore.c:527-541).  The yielded array is a reused buffer on the
+        native path: consume it before advancing."""
+        if self._decoded_f is not None:
+            for k0 in range(0, self.N, block):
+                yield k0, self._decoded_f[k0:k0 + block]
+            return
+        from . import native
+        lib = native.get_lib()
+        if lib is None:
+            Y = self.decoded(True)
+            for k0 in range(0, self.N, block):
+                yield k0, Y[k0:k0 + block]
+            return
+        z = np.frombuffer(self.yz, np.uint8)
+        pos = 0
+        buf = np.empty((block, self.M), np.uint8)
+        for k0 in range(0, self.N, block):
+            b = min(block, self.N - k0)
+            used = lib.p3_decode_cols(z[pos:], len(z) - pos, b, self.M,
+                                      buf.reshape(-1))
+            if used < 0:
+                raise ValueError("corrupt pack3 stream")
+            pos += used
+            yield k0, buf[:b]
+
     # ---- construction -----------------------------------------------------
 
     @classmethod
@@ -153,28 +182,52 @@ class PBWT:
         pnew.sites = sites
         return pnew
 
+    def _rebuild_with_keep(self, keep: np.ndarray, sites: list[Site] | None
+                           ) -> "PBWT":
+        """Re-PBWT a site selection.  Streams the pack3 bytes through the
+        native cursor pair when available (O(M) live memory, like the
+        reference's pbwtSubSites/SelectSites loops); falls back to the
+        decoded-matrix rebuild otherwise."""
+        from . import native
+        keep = np.ascontiguousarray(keep, np.uint8)
+        if self.yz:
+            a0 = (self.aFstart if self.aFstart is not None
+                  else np.arange(self.M, dtype=np.int32))
+            res = native.select_repack(self.yz, self.M, self.N, keep, a0)
+            if res is not None:
+                pnew = PBWT(self.M, int(np.count_nonzero(keep)))
+                pnew.yz, pnew.aFend = res
+                pnew.sites = sites
+                return pnew
+        X = self.haplotypes()
+        return self._rebuild_with_columns(
+            np.ascontiguousarray(X[:, np.flatnonzero(keep)]), sites)
+
     def sub_sites(self, fmin: float, frac: float) -> "PBWT":
         """pbwtSubSites (pbwtCore.c:71-110)."""
         if not self.yz:
             raise ValueError("subsites without an existing pbwt")
         if not (0 <= fmin < 1) or not (0 < frac <= 1):
             raise ValueError(f"fmin {fmin}, frac {frac} for subsites out of range")
+        from . import native
         M = self.M
         thresh = int(M * (1 - fmin))
-        Y = self.decoded(True)
-        X = self.haplotypes()
+        c0 = native.col_counts(self.yz, M, self.N) if self.yz else None
+        if c0 is None:
+            c0 = (self.decoded(True) == 0).sum(axis=1)
         keep = []
         bit = 0.0
         for i in range(self.N):
-            c = int(np.count_nonzero(Y[i] == 0))
-            if c < thresh:
+            if int(c0[i]) < thresh:
                 bit += frac
                 if bit > 1.0:
                     keep.append(i)
                     bit -= 1.0
         keep = np.array(keep, dtype=np.int64)
         sites = [self.sites[i].copy() for i in keep] if self.sites else None
-        pnew = self._rebuild_with_columns(X[:, keep], sites)
+        mask = np.zeros(self.N, np.uint8)
+        mask[keep] = 1
+        pnew = self._rebuild_with_keep(mask, sites)
         log(f"subsites with fmin {fmin:f}, frac {frac:f} leaves {pnew.N} sites")
         pnew.chrom = self.chrom
         pnew.samples = self.samples
@@ -188,9 +241,10 @@ class PBWT:
             raise ValueError("subrange without an existing pbwt")
         if start < 0 or end > self.N or end <= start:
             raise ValueError(f"subrange invalid start {start}, end {end}")
-        X = self.haplotypes()
         sites = [self.sites[i].copy() for i in range(start, end)] if self.sites else None
-        pnew = self._rebuild_with_columns(X[:, start:end], sites)
+        mask = np.zeros(self.N, np.uint8)
+        mask[start:end] = 1
+        pnew = self._rebuild_with_keep(mask, sites)
         pnew.chrom = self.chrom
         pnew.samples = self.samples
         pnew.missingOffset = self.missingOffset
@@ -204,7 +258,6 @@ class PBWT:
         if self.sites is None:
             raise ValueError("selectSites without sites")
         vd = registry.variation_dict
-        X = self.haplotypes()
         keep_cols: list[int] = []
         new_sites: list[Site] = []
         ip = ia = 0
@@ -227,8 +280,9 @@ class PBWT:
                     keep_cols.append(ip)
                     ip += 1
                     ia += 1
-        keep = np.array(keep_cols, dtype=np.int64)
-        pnew = self._rebuild_with_columns(X[:, keep], new_sites)
+        mask = np.zeros(self.N, np.uint8)
+        mask[np.array(keep_cols, dtype=np.int64)] = 1
+        pnew = self._rebuild_with_keep(mask, new_sites)
         log(f"{pnew.N} sites selected from {self.N}, pbwt size for {pnew.M} "
             f"haplotypes is {len(pnew.yz)}")
         if keep_old:
@@ -251,7 +305,6 @@ class PBWT:
         """pbwtRemoveSites (pbwtCore.c:690-746)."""
         if self.sites is None:
             raise ValueError("removeSites without sites")
-        X = self.haplotypes()
         keep_cols: list[int] = []
         new_sites: list[Site] = []
         ip = ia = 0
@@ -268,8 +321,9 @@ class PBWT:
                 ia += 1
         # NB reference stops at the end of either list; trailing sites of the
         # pbwt beyond the remove list are dropped, as in the reference loop.
-        keep = np.array(keep_cols, dtype=np.int64)
-        pnew = self._rebuild_with_columns(X[:, keep], new_sites)
+        mask = np.zeros(self.N, np.uint8)
+        mask[np.array(keep_cols, dtype=np.int64)] = 1
+        pnew = self._rebuild_with_keep(mask, new_sites)
         log(f"{pnew.N} sites selected from {self.N}, pbwt size for {pnew.M} "
             f"haplotypes is {len(pnew.yz)}")
         if keep_old:
@@ -288,10 +342,17 @@ class PBWT:
         """pbwtSubSample: select[i] = old haplotype index of new column i."""
         if not self.yz:
             raise ValueError("subSample called without valid pbwt")
-        X = self.haplotypes()
+        from . import native
         pnew = PBWT(int(len(select)), self.N)
-        Xn = X[np.asarray(select, dtype=np.int64)]
-        pnew.yz, pnew.aFend = engine.build_from_haplotypes(Xn)
+        a0 = (self.aFstart if self.aFstart is not None
+              else np.arange(self.M, dtype=np.int32))
+        res = native.subsample_repack(self.yz, self.M, self.N,
+                                      np.asarray(select, np.int64), a0)
+        if res is not None:
+            pnew.yz, pnew.aFend = res
+        else:
+            Xn = self.haplotypes()[np.asarray(select, dtype=np.int64)]
+            pnew.yz, pnew.aFend = engine.build_from_haplotypes(Xn)
         if self.samples:
             pnew.samples = [self.samples[int(j)] for j in select]
         pnew.chrom = self.chrom

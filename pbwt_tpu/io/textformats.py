@@ -245,19 +245,28 @@ def read_phase(fp, chrom: str) -> PBWT:
 # haplotype writers (pbwtIO.c:837-954)
 # --------------------------------------------------------------------------
 
+def _iter_sites(p: PBWT):
+    """Yield (i, y_sorted, site) per site, streaming columns blockwise."""
+    for k0, Yb in p.stream_sorted():
+        for ib in range(Yb.shape[0]):
+            i = k0 + ib
+            yield i, Yb[ib], p.sites[i]
+
+
 def write_haplotypes(fp, p: PBWT, impute_ref: bool = False) -> None:
-    """pbwtWriteHaplotypes (:839-857): one line of M 0/1 chars per site."""
-    Y = p.decoded(True)
+    """pbwtWriteHaplotypes (:839-857): one line of M 0/1 chars per site.
+    Streams the packed columns blockwise (O(M) live memory)."""
     a = (p.aFstart if p.aFstart is not None else np.arange(p.M, dtype=np.int32)).copy()
     hap = np.empty(p.M, dtype=np.uint8)
     sep = " " if impute_ref else ""
     zero_one = np.array([ord("0"), ord("1")], dtype=np.uint8)
-    for i in range(p.N):
-        hap[a] = Y[i]
-        row = zero_one[np.minimum(hap, 1)].tobytes().decode()
-        fp.write(sep.join(row) if impute_ref else row)
-        fp.write("\n")
-        a = engine.forwards_a(a, Y[i])
+    for k0, Yb in p.stream_sorted():
+        for i in range(Yb.shape[0]):
+            hap[a] = Yb[i]
+            row = zero_one[np.minimum(hap, 1)].tobytes().decode()
+            fp.write(sep.join(row) if impute_ref else row)
+            fp.write("\n")
+            a = engine.forwards_a(a, Yb[i])
     log(f"written haplotype file: {p.N} rows of {p.M}")
 
 
@@ -287,15 +296,17 @@ def write_impute_haps_g(p: PBWT, fp) -> None:
     if p.sites is None:
         raise ValueError("pbwtWriteImputeHaps called without sites")
     vd = registry.variation_dict
-    Y = p.decoded(True)
     a = p.aFstart.copy()
     hap = np.empty(p.M, dtype=np.uint8)
-    for i, s in enumerate(p.sites):
-        hap[a] = Y[i]
-        fp.write(f"site{i + 1}\tsite{i + 1}\t{s.x}\t{registry.variation_name(s.varD)}")
-        fp.write("".join(f" {int(v) and 1}" for v in hap))
-        fp.write("\n")
-        a = engine.forwards_a(a, Y[i])
+    for k0, Yb in p.stream_sorted():
+        for ib in range(Yb.shape[0]):
+            i = k0 + ib
+            s = p.sites[i]
+            hap[a] = Yb[ib]
+            fp.write(f"site{i + 1}\tsite{i + 1}\t{s.x}\t{registry.variation_name(s.varD)}")
+            fp.write("".join(f" {int(v) and 1}" for v in hap))
+            fp.write("\n")
+            a = engine.forwards_a(a, Yb[ib])
 
 
 def write_gen(p: PBWT, fp) -> None:
@@ -304,17 +315,15 @@ def write_gen(p: PBWT, fp) -> None:
         raise ValueError("pbwtWriteGen called without sites")
     from ..algos.impute import dosage_retrieve
     vd = registry.variation_dict
-    Y = p.decoded(True)
     a = p.aFstart.copy()
     hap = np.empty(p.M, dtype=np.uint8)
     ad = np.empty(p.M, dtype=np.float64)
     is_dosage = p.dosageOffset is not None
-    for i, s in enumerate(p.sites):
+    for i, y, s in _iter_sites(p):
         als = registry.variation_name(s.varD)
         als_u = als.replace("\t", "_")
         fp.write(f"{p.chrom}:{s.x}_{als_u} {p.chrom}:{s.x}_{als_u} {s.x}"
                  f" {als_u.replace('_', ' ')}")
-        y = Y[i]
         hap[a] = y
         if is_dosage:
             d = dosage_retrieve(p, y, i)

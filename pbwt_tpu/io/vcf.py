@@ -344,14 +344,13 @@ def sample_column_names(p: PBWT) -> list[str]:
 def format_records(p: PBWT):
     """Yield VCF data lines for p (generator)."""
     from ..algos.impute import dosage_retrieve
+    from .textformats import _iter_sites
     vd = registry.variation_dict
     is_dosage = p.dosageOffset is not None
-    Y = p.decoded(True)
     a = p.aFstart.copy()
     hap = np.empty(p.M, dtype=np.uint8)
     ad = np.empty(p.M, dtype=np.float64)
-    for i, s in enumerate(p.sites):
-        y = Y[i]
+    for i, y, s in _iter_sites(p):
         hap[a] = y
         if is_dosage:
             ad[a] = dosage_retrieve(p, y, i)
