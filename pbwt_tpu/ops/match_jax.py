@@ -129,8 +129,10 @@ def match_scan(W: jnp.ndarray, query_cols: jnp.ndarray,
             j_new = jnp.where(hit, 32 * widx + _last_mismatch_in_word(v), j)
             return widx - 1, hit, j_new
 
+        # carry init derives from varying inputs so the loop stays
+        # well-typed under shard_map's manual-axes tracking
         _, found, j = jax.lax.while_loop(
-            wcond, wbody, (w0, jnp.bool_(False), jnp.int32(-1)))
+            wcond, wbody, (w0, collapsed & False, jnp.full_like(w0, -1)))
         e1 = jnp.where(collapsed & (e1 > 0),
                        jnp.where(found, j + 1, 0), e1)
 
@@ -194,9 +196,11 @@ def match_scan(W: jnp.ndarray, query_cols: jnp.ndarray,
 
     a = a0
     d = jnp.zeros(M + 1, dtype=jnp.int32).at[0].set(1).at[M].set(1)
-    e = jnp.zeros(Q, dtype=jnp.int32)
-    f = jnp.zeros(Q, dtype=jnp.int32)
-    g = jnp.full(Q, M, dtype=jnp.int32)
+    # derive the per-query carries from query_cols so their varying manual
+    # axes match the loop body under shard_map (no-op otherwise)
+    e = (query_cols[0] * 0).astype(jnp.int32)
+    f = e
+    g = e + M
     qgrps = query_cols.reshape(Ng, GROUP, Q)
     (_, _, e_end, f_end, g_end, _), (mask, es, fs, gs, ybits) = jax.lax.scan(
         group_step, (a, d, e, f, g, jnp.int32(0)), (W, qgrps))
