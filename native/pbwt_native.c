@@ -13,6 +13,7 @@
 #include <stdint.h>
 #include <string.h>
 #include <stdlib.h>
+#include <unistd.h>
 
 #define EXPORT __attribute__((visibility("default")))
 
@@ -129,6 +130,65 @@ static int cs_packed(colsrc *cs, const uint8_t *yz, long nz, long M)
 }
 
 static void cs_free(colsrc *cs) { free(cs->buf); }
+
+static inline uint8_t *put_dec(uint8_t *p, long v)
+{
+    char tmp[24];
+    int n = 0;
+    if (v == 0) { *p++ = '0'; return p; }
+    while (v) { tmp[n++] = (char)('0' + v % 10); v /= 10; }
+    while (n) *p++ = (uint8_t)tmp[--n];
+    return p;
+}
+
+/* match-row sink: either collect (ai, bi, s, e) int64 rows (cap-bounded,
+   zero-length rows kept for collector semantics) or stream formatted
+   MATCH lines straight to a file descriptor (zero-length rows skipped,
+   like the reference's reportMatch printf) - the fd path never
+   materialises the row set, which matters on slow-page-fault hosts. */
+typedef struct {
+    int64_t *rows;
+    long cap, n, totlen, nz;
+    int fd;
+    uint8_t *buf;
+    long blen;
+} rowsink;
+
+#define SINK_BUF (1L << 20)
+
+static int sink_flush(rowsink *rs)
+{
+    long off = 0;
+    while (off < rs->blen) {
+        long w = write(rs->fd, rs->buf + off, rs->blen - off);
+        if (w < 0) return -1;
+        off += w;
+    }
+    rs->blen = 0;
+    return 0;
+}
+
+static inline void sink_row(rowsink *rs, long ai, long bi, long s, long e)
+{
+    rs->n++;
+    if (s != e) { rs->nz++; rs->totlen += e - s; }
+    if (rs->fd >= 0) {
+        if (s == e) return;
+        if (rs->blen + 144 > SINK_BUF) sink_flush(rs);
+        uint8_t *p = rs->buf + rs->blen;
+        memcpy(p, "MATCH\t", 6); p += 6;
+        p = put_dec(p, ai); *p++ = '\t';
+        p = put_dec(p, bi); *p++ = '\t';
+        p = put_dec(p, s); *p++ = '\t';
+        p = put_dec(p, e); *p++ = '\t';
+        p = put_dec(p, e - s); *p++ = '\n';
+        rs->blen = p - rs->buf;
+    } else if (rs->n <= rs->cap) {
+        int64_t *r = rs->rows + 4 * (rs->n - 1);
+        r[0] = ai; r[1] = bi; r[2] = s; r[3] = e;
+    }
+}
+
 
 /* ------------------------------------------------------------------ */
 /* column updates (algorithms 1 and 2)                                 */
@@ -637,7 +697,7 @@ EXPORT long expand_records_mt(const uint8_t *ybits, long stride,
    the same order as the reference scan; returns count (writes at most cap
    rows so callers can size-and-retry). */
 static long max_within_impl(colsrc *cs, long M, long N,
-                            const int32_t *a0, int64_t *out, long cap)
+                            const int32_t *a0, rowsink *rs)
 {
     int32_t *a = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *d = (int32_t *)calloc(M + 1, sizeof(int32_t));
@@ -666,26 +726,16 @@ static long max_within_impl(colsrc *cs, long M, long N,
             }
             /* zero-length rows are kept: collector callbacks in the
                reference (impute/paint) record them; printers filter */
-            for (long j = m + 1; j < i; ++j) {
-                if (nrep < cap) {
-                    int64_t *r = out + 4 * nrep;
-                    r[0] = a[i]; r[1] = a[j]; r[2] = d[i]; r[3] = kk;
-                }
-                ++nrep;
-            }
-            for (long j = i + 1; j < n; ++j) {
-                if (nrep < cap) {
-                    int64_t *r = out + 4 * nrep;
-                    r[0] = a[i]; r[1] = a[j]; r[2] = d[i + 1]; r[3] = kk;
-                }
-                ++nrep;
-            }
+            for (long j = m + 1; j < i; ++j)
+                sink_row(rs, a[i], a[j], d[i], kk);
+            for (long j = i + 1; j < n; ++j)
+                sink_row(rs, a[i], a[j], d[i + 1], kk);
         next_i:;
         }
         if (kk < N) fwd_ad(a, d, y, ones, dones, M, (int32_t)kk);
     }
     free(a); free(d); free(ones); free(dones);
-    return nrep;
+    return nrep < 0 ? -1 : rs->n;
 }
 
 EXPORT long max_within(const uint8_t *Ysort, long M, long N,
@@ -693,7 +743,8 @@ EXPORT long max_within(const uint8_t *Ysort, long M, long N,
 {
     colsrc cs;
     cs_dense(&cs, Ysort, M);
-    return max_within_impl(&cs, M, N, a0, out, cap);
+    rowsink rs = { out, cap, 0, 0, 0, -1, NULL, 0 };
+    return max_within_impl(&cs, M, N, a0, &rs);
 }
 
 /* streaming variant: one column of the pack3 stream live at a time */
@@ -702,8 +753,24 @@ EXPORT long max_within_packed(const uint8_t *yz, long nz, long M, long N,
 {
     colsrc cs;
     if (!cs_packed(&cs, yz, nz, M)) return -1;
-    long n = max_within_impl(&cs, M, N, a0, out, cap);
+    rowsink rs = { out, cap, 0, 0, 0, -1, NULL, 0 };
+    long n = max_within_impl(&cs, M, N, a0, &rs);
     cs_free(&cs);
+    return n;
+}
+
+/* stream MATCH lines straight to fd; returns report count (zero-length
+   included) or -1 */
+EXPORT long max_within_print(const uint8_t *yz, long nz, long M, long N,
+                             const int32_t *a0, int fd)
+{
+    colsrc cs;
+    if (!cs_packed(&cs, yz, nz, M)) return -1;
+    uint8_t *buf = (uint8_t *)malloc(SINK_BUF + 256);
+    rowsink rs = { NULL, 0, 0, 0, 0, fd, buf, 0 };
+    long n = max_within_impl(&cs, M, N, a0, &rs);
+    sink_flush(&rs);
+    cs_free(&cs); free(buf);
     return n;
 }
 
@@ -712,7 +779,7 @@ EXPORT long max_within_packed(const uint8_t *yz, long nz, long M, long N,
    stay in y (the reference reads past the end and compares stale
    alleles). Reports (ai, bi, start, end); returns count. */
 static long long_within_impl(colsrc *cs, long M, long N, long T,
-                             const int32_t *a0, int64_t *out, long cap)
+                             const int32_t *a0, rowsink *rs)
 {
     int32_t *a = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *d = (int32_t *)calloc(M + 1, sizeof(int32_t));
@@ -733,14 +800,8 @@ static long long_within_impl(colsrc *cs, long M, long N, long T,
                         long dmin = 0;
                         for (long ib = ia + 1; ib < i; ++ib) {
                             if (d[ib] > dmin) dmin = d[ib];
-                            if (y[ib] != y[ia]) {
-                                if (nrep < cap) {
-                                    int64_t *r = out + 4 * nrep;
-                                    r[0] = a[ia]; r[1] = a[ib];
-                                    r[2] = dmin; r[3] = kk;
-                                }
-                                ++nrep;
-                            }
+                            if (y[ib] != y[ia])
+                                sink_row(rs, a[ia], a[ib], dmin, kk);
                         }
                     }
                 }
@@ -751,7 +812,7 @@ static long long_within_impl(colsrc *cs, long M, long N, long T,
         if (kk < N) fwd_ad(a, d, y, ones, dones, M, (int32_t)kk);
     }
     free(a); free(d); free(ones); free(dones);
-    return nrep;
+    return nrep < 0 ? -1 : rs->n;
 }
 
 EXPORT long long_within(const uint8_t *Ysort, long M, long N, long T,
@@ -759,7 +820,8 @@ EXPORT long long_within(const uint8_t *Ysort, long M, long N, long T,
 {
     colsrc cs;
     cs_dense(&cs, Ysort, M);
-    return long_within_impl(&cs, M, N, T, a0, out, cap);
+    rowsink rs = { out, cap, 0, 0, 0, -1, NULL, 0 };
+    return long_within_impl(&cs, M, N, T, a0, &rs);
 }
 
 EXPORT long long_within_packed(const uint8_t *yz, long nz, long M, long N,
@@ -768,8 +830,22 @@ EXPORT long long_within_packed(const uint8_t *yz, long nz, long M, long N,
 {
     colsrc cs;
     if (!cs_packed(&cs, yz, nz, M)) return -1;
-    long n = long_within_impl(&cs, M, N, T, a0, out, cap);
+    rowsink rs = { out, cap, 0, 0, 0, -1, NULL, 0 };
+    long n = long_within_impl(&cs, M, N, T, a0, &rs);
     cs_free(&cs);
+    return n;
+}
+
+EXPORT long long_within_print(const uint8_t *yz, long nz, long M, long N,
+                              long T, const int32_t *a0, int fd)
+{
+    colsrc cs;
+    if (!cs_packed(&cs, yz, nz, M)) return -1;
+    uint8_t *buf = (uint8_t *)malloc(SINK_BUF + 256);
+    rowsink rs = { NULL, 0, 0, 0, 0, fd, buf, 0 };
+    long n = long_within_impl(&cs, M, N, T, a0, &rs);
+    sink_flush(&rs);
+    cs_free(&cs); free(buf);
     return n;
 }
 
@@ -778,7 +854,7 @@ EXPORT long long_within_packed(const uint8_t *yz, long nz, long M, long N,
    Reports (query, panel_hap, start, end) rows; returns count. */
 static long sweep_match_impl(colsrc *csp, long M, colsrc *csq,
                              long Q, long N, const int32_t *ap0,
-                             const int32_t *aq0, int64_t *out, long cap)
+                             const int32_t *aq0, rowsink *rs)
 {
     int32_t *ap = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *dp = (int32_t *)calloc(M + 1, sizeof(int32_t));
@@ -795,14 +871,7 @@ static long sweep_match_impl(colsrc *csp, long M, colsrc *csq,
     dp[0] = 1; dp[M] = 1;
     long nrep = 0;
 
-#define REPORT(ai, bi, s, e)                                   \
-    do {                                                       \
-        if (nrep < cap) {                                      \
-            int64_t *r = out + 4 * nrep;                       \
-            r[0] = (ai); r[1] = (bi); r[2] = (s); r[3] = (e);  \
-        }                                                      \
-        ++nrep;                                                \
-    } while (0)
+#define REPORT(ai, bi, s, e) sink_row(rs, (ai), (bi), (s), (e))
 
     for (long kk = 0; kk < N; ++kk) {
         const uint8_t *yp = cs_next(csp, kk);
@@ -891,7 +960,7 @@ static long sweep_match_impl(colsrc *csp, long M, colsrc *csq,
     free(ap); free(dp); free(ap2); free(dp2);
     free(aq); free(ones); free(dones); free(u);
     free(f); free(dq);
-    return nrep;
+    return nrep < 0 ? -1 : rs->n;
 }
 
 EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
@@ -901,7 +970,8 @@ EXPORT long sweep_match(const uint8_t *Ysp, long M, const uint8_t *Ysq,
     colsrc cp, cq;
     cs_dense(&cp, Ysp, M);
     cs_dense(&cq, Ysq, Q);
-    return sweep_match_impl(&cp, M, &cq, Q, N, ap0, aq0, out, cap);
+    rowsink rs = { out, cap, 0, 0, 0, -1, NULL, 0 };
+    return sweep_match_impl(&cp, M, &cq, Q, N, ap0, aq0, &rs);
 }
 
 EXPORT long sweep_match_packed(const uint8_t *yzp, long nzp, long M,
@@ -912,9 +982,54 @@ EXPORT long sweep_match_packed(const uint8_t *yzp, long nzp, long M,
     colsrc cp, cq;
     if (!cs_packed(&cp, yzp, nzp, M)) return -1;
     if (!cs_packed(&cq, yzq, nzq, Q)) { cs_free(&cp); return -1; }
-    long n = sweep_match_impl(&cp, M, &cq, Q, N, ap0, aq0, out, cap);
+    rowsink rs = { out, cap, 0, 0, 0, -1, NULL, 0 };
+    long n = sweep_match_impl(&cp, M, &cq, Q, N, ap0, aq0, &rs);
     cs_free(&cp); cs_free(&cq);
     return n;
+}
+
+/* stream MATCH lines straight to fd; fills stats[0] = total reports
+   (zero-length included), stats[1] = sum of nonzero lengths */
+EXPORT long sweep_match_print(const uint8_t *yzp, long nzp, long M,
+                              const uint8_t *yzq, long nzq, long Q, long N,
+                              const int32_t *ap0, const int32_t *aq0,
+                              int fd, int64_t *stats)
+{
+    colsrc cp, cq;
+    if (!cs_packed(&cp, yzp, nzp, M)) return -1;
+    if (!cs_packed(&cq, yzq, nzq, Q)) { cs_free(&cp); return -1; }
+    uint8_t *buf = (uint8_t *)malloc(SINK_BUF + 256);
+    rowsink rs = { NULL, 0, 0, 0, 0, fd, buf, 0 };
+    long n = sweep_match_impl(&cp, M, &cq, Q, N, ap0, aq0, &rs);
+    sink_flush(&rs);
+    stats[0] = rs.n; stats[1] = rs.totlen; stats[2] = rs.nz;
+    cs_free(&cp); cs_free(&cq); free(buf);
+    return n;
+}
+
+/* bulk "MATCH\tai\tbi\tstart\tend\tlen\n" formatting of (n, 4) match rows
+   (reportMatch, pbwtMatch.c:46-58; zero-length rows skipped).  Returns
+   bytes needed, writing at most cap. */
+EXPORT long format_match_rows(const int64_t *rows, long n, uint8_t *out,
+                              long cap)
+{
+    long total = 0;
+    uint8_t tmp[144];
+    for (long i = 0; i < n; ++i) {
+        const int64_t *r = rows + 4 * i;
+        if (r[2] == r[3]) continue;
+        uint8_t *p = tmp;
+        memcpy(p, "MATCH\t", 6); p += 6;
+        p = put_dec(p, r[0]); *p++ = '\t';
+        p = put_dec(p, r[1]); *p++ = '\t';
+        p = put_dec(p, r[2]); *p++ = '\t';
+        p = put_dec(p, r[3]); *p++ = '\t';
+        p = put_dec(p, r[3] - r[2]); *p++ = '\n';
+        long len = p - tmp;
+        if (total + len <= cap) memcpy(out + total, tmp, len);
+        total += len;
+    }
+    return total;
 }
 
 /* per-column zero counts straight off the run-length bytes (no decode) */

@@ -237,6 +237,27 @@ def long_matches(p: PBWT, L: int) -> None:
         log(f"Average length {h_tot / n_tot:.1f}")
         return
 
+    if haps is None and p.yz:
+        # stream MATCH lines straight from the C scan to the stdout fd -
+        # no row materialisation (13M-row outputs take seconds, not
+        # minutes on slow-page-fault hosts)
+        from ..core import native
+        a0 = (p.aFstart if p.aFstart is not None
+              else np.arange(p.M, dtype=np.int32))
+        sys.stdout.flush()
+        fd = native._stdout_fd(sys.stdout)
+        if fd >= 0:
+            n = (native.long_within_print(p.yz, L, p.M, p.N, a0, fd) if L
+                 else native.max_within_print(p.yz, p.M, p.N, a0, fd))
+            if n is not None:
+                return
+        rows = (native.long_within_packed(p.yz, L, p.M, p.N, a0) if L
+                else native.max_within_packed(p.yz, p.M, p.N, a0))
+        if rows is not None:
+            if native.write_match_rows(rows, sys.stdout.buffer):
+                sys.stdout.buffer.flush()
+                return
+
     if L:
         match_long_within(p, L, report)
     else:
@@ -443,13 +464,34 @@ def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
     from ..core import native
     ap0 = p.aFstart if p.aFstart is not None else np.arange(M, dtype=np.int32)
     aq0 = q.aFstart if q.aFstart is not None else np.arange(QM, dtype=np.int32)
+    if p.yz and q.yz and report is report_match_stdout:
+        # stream MATCH lines straight from the C sweep to the stdout fd
+        sys.stdout.flush()
+        fd = native._stdout_fd(sys.stdout)
+        if fd >= 0:
+            st = native.sweep_match_print(p.yz, M, q.yz, QM, N, ap0, aq0, fd)
+            if st is not None:
+                n_rep, tot_len, nz = st
+                log(f"Average number of best matches including alternates "
+                    f"{n_rep / QM:.1f}, Average length "
+                    f"{tot_len / max(nz, 1):.1f}, Av number per position "
+                    f"{tot_len / (QM * N):.1f}")
+                return
     if p.yz and q.yz:
         rows = native.sweep_match_packed(p.yz, M, q.yz, QM, N, ap0, aq0)
     else:
         rows = native.sweep_match(p.decoded(True), ap0, q.decoded(True), aq0)
     if rows is not None:
-        for ai, bi, s, e in rows.tolist():
-            report(ai, bi, s, e)
+        if report is report_match_stdout:
+            sys.stdout.flush()
+            if not native.write_match_rows(rows, sys.stdout.buffer):
+                for ai, bi, s, e in rows.tolist():
+                    report(ai, bi, s, e)
+            else:
+                sys.stdout.buffer.flush()
+        else:
+            for ai, bi, s, e in rows.tolist():
+                report(ai, bi, s, e)
         nz = rows[rows[:, 2] != rows[:, 3]]
         tot_len = int((nz[:, 3] - nz[:, 2]).sum())
         log(f"Average number of best matches including alternates "

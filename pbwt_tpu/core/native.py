@@ -86,6 +86,15 @@ def get_lib():
     lib.select_repack.argtypes = [u8p, L, L, L, u8p, i32p, u8p, L, i32p]
     lib.col_counts.restype = L
     lib.col_counts.argtypes = [u8p, L, L, L, i64p]
+    lib.format_match_rows.restype = L
+    lib.format_match_rows.argtypes = [i64p, L, u8p, L]
+    lib.max_within_print.restype = L
+    lib.max_within_print.argtypes = [u8p, L, L, L, i32p, ctypes.c_int]
+    lib.long_within_print.restype = L
+    lib.long_within_print.argtypes = [u8p, L, L, L, L, i32p, ctypes.c_int]
+    lib.sweep_match_print.restype = L
+    lib.sweep_match_print.argtypes = [u8p, L, L, u8p, L, L, L, i32p, i32p,
+                                      ctypes.c_int, i64p]
     lib.subsample_repack.restype = L
     lib.subsample_repack.argtypes = [u8p, L, L, L, i64p, L, i32p, u8p, L,
                                      i32p]
@@ -263,7 +272,7 @@ def max_within_packed(yz: bytes, M: int, N: int, a0: np.ndarray):
     a0 = np.ascontiguousarray(a0, np.int32)
     cap = max(4096, 8 * M)
     while True:
-        out = np.empty((cap, 4), np.int64)
+        out = pooled_view((cap, 4), np.int64, "rows:max_within")
         n = lib.max_within_packed(z, len(z), M, N, a0, out.reshape(-1), cap)
         if n < 0:
             return None
@@ -281,7 +290,7 @@ def long_within_packed(yz: bytes, T: int, M: int, N: int, a0: np.ndarray):
     a0 = np.ascontiguousarray(a0, np.int32)
     cap = max(4096, 8 * M)
     while True:
-        out = np.empty((cap, 4), np.int64)
+        out = pooled_view((cap, 4), np.int64, "rows:long_within")
         n = lib.long_within_packed(z, len(z), M, N, T, a0,
                                    out.reshape(-1), cap)
         if n < 0:
@@ -303,7 +312,7 @@ def sweep_match_packed(yzp: bytes, M: int, yzq: bytes, Q: int, N: int,
     aq0 = np.ascontiguousarray(aq0, np.int32)
     cap = max(4096, 8 * Q + N)
     while True:
-        out = np.empty((cap, 4), np.int64)
+        out = pooled_view((cap, 4), np.int64, "rows:sweep")
         n = lib.sweep_match_packed(zp, len(zp), M, zq, len(zq), Q, N,
                                    ap0, aq0, out.reshape(-1), cap)
         if n < 0:
@@ -332,6 +341,72 @@ def select_repack(yz: bytes, M: int, N: int, keep: np.ndarray,
         if n <= cap:
             return out[:n].tobytes(), a_end
         cap = n
+
+
+def _stdout_fd(stream) -> int:
+    """File descriptor of a real stdout, or -1 when redirected in-process."""
+    try:
+        return stream.fileno()
+    except (OSError, AttributeError, ValueError):
+        return -1
+
+
+def max_within_print(yz: bytes, M: int, N: int, a0: np.ndarray, fd: int):
+    """Stream MATCH lines for all set-maximal matches straight to fd
+    (never materialising the row set); returns report count or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.frombuffer(yz, np.uint8)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    n = lib.max_within_print(z, len(z), M, N, a0, fd)
+    return None if n < 0 else n
+
+
+def long_within_print(yz: bytes, T: int, M: int, N: int, a0: np.ndarray,
+                      fd: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.frombuffer(yz, np.uint8)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    n = lib.long_within_print(z, len(z), M, N, T, a0, fd)
+    return None if n < 0 else n
+
+
+def sweep_match_print(yzp: bytes, M: int, yzq: bytes, Q: int, N: int,
+                      ap0: np.ndarray, aq0: np.ndarray, fd: int):
+    """Stream sweep MATCH lines to fd; returns (n_reports, tot_len,
+    n_nonzero) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    zp = np.frombuffer(yzp, np.uint8)
+    zq = np.frombuffer(yzq, np.uint8)
+    stats = np.zeros(3, np.int64)
+    n = lib.sweep_match_print(zp, len(zp), M, zq, len(zq), Q, N,
+                              np.ascontiguousarray(ap0, np.int32),
+                              np.ascontiguousarray(aq0, np.int32), fd, stats)
+    if n < 0:
+        return None
+    return int(stats[0]), int(stats[1]), int(stats[2])
+
+
+def write_match_rows(rows: np.ndarray, out) -> bool:
+    """Bulk-format (n, 4) match rows as MATCH lines into the binary stream
+    ``out`` (chunked); returns False when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    rows = np.ascontiguousarray(rows, np.int64)
+    CHUNK = 1 << 21
+    for i0 in range(0, len(rows), CHUNK):
+        part = rows[i0:i0 + CHUNK]
+        cap = 144 * len(part)
+        buf = pooled_view((cap,), np.uint8, "rows:fmt")
+        n = lib.format_match_rows(part.reshape(-1), len(part), buf, cap)
+        out.write(buf[:n].tobytes())
+    return True
 
 
 def col_counts(yz: bytes, M: int, N: int):
