@@ -79,8 +79,57 @@ def main():
         "vs_baseline": round(hap_sites_per_s / BASELINE, 3),
     }
     if on_tpu:
+        result.update(bench_build_ad(w_dev, a0, Mp, M))
         result.update(bench_match_dynamic())
     print(json.dumps(result))
+
+
+def bench_build_ad(w_dev, a0, Mp, M, groups=64):
+    """Divergence-carrying construction chain (the panel state the matcher
+    consumes: ops/partition_pallas.partition_ad_step per site)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbwt_tpu.ops import partition_pallas as pp
+    from pbwt_tpu.ops.build import GROUP
+
+    R = Mp // 128
+    iota = jnp.arange(Mp, dtype=jnp.int32)
+
+    @jax.jit
+    def ad_chain(W, a0):
+        def sg(w_nat, a):
+            _, inv = jax.lax.sort((a, iota), num_keys=1, is_stable=True)
+            _, r = jax.lax.sort((inv, w_nat), num_keys=1, is_stable=True)
+            return r
+
+        def gs(carry, w_nat):
+            a, d, k = carry
+            w = sg(w_nat, a)
+
+            def ss(s, st):
+                a, d, w = st
+                a2, d2, w2, _, _ = pp.partition_ad_step(a, d, w, s, k + s)
+                return a2, d2, w2
+
+            aR, dR, wR = jax.lax.fori_loop(
+                0, GROUP, ss, (a.reshape(R, 128), d.reshape(R, 128),
+                               w.reshape(R, 128)))
+            return (aR.reshape(-1), dR.reshape(-1), k + GROUP), 0
+
+        d0 = jnp.zeros(Mp, jnp.int32).at[0].set(1)
+        (a, d, _), _ = jax.lax.scan(gs, (a0, d0, jnp.int32(0)), W)
+        return a, d
+
+    Wc = w_dev[:groups]
+    out = ad_chain(Wc, a0)
+    np.asarray(out[0][:4])                 # warm-up / compile
+    t0 = time.perf_counter()
+    out = ad_chain(Wc, a0)
+    np.asarray(out[0][:4])
+    dt = time.perf_counter() - t0
+    n_sites = groups * 32
+    return {"build_ad_hap_sites_per_s": round(M * n_sites / dt, 1)}
 
 
 # reference binary -matchDynamic on this host at M=100k N=2048 Q=256

@@ -251,11 +251,12 @@ def long_matches(p: PBWT, L: int) -> None:
                  else native.max_within_print(p.yz, p.M, p.N, a0, fd))
             if n is not None:
                 return
-        rows = (native.long_within_packed(p.yz, L, p.M, p.N, a0) if L
-                else native.max_within_packed(p.yz, p.M, p.N, a0))
-        if rows is not None:
-            if native.write_match_rows(rows, sys.stdout.buffer):
-                sys.stdout.buffer.flush()
+        binout = getattr(sys.stdout, "buffer", None)
+        if binout is not None:
+            rows = (native.long_within_packed(p.yz, L, p.M, p.N, a0) if L
+                    else native.max_within_packed(p.yz, p.M, p.N, a0))
+            if rows is not None and native.write_match_rows(rows, binout):
+                binout.flush()
                 return
 
     if L:
@@ -482,13 +483,14 @@ def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
     else:
         rows = native.sweep_match(p.decoded(True), ap0, q.decoded(True), aq0)
     if rows is not None:
-        if report is report_match_stdout:
+        binout = getattr(sys.stdout, "buffer", None)
+        if report is report_match_stdout and binout is not None:
             sys.stdout.flush()
-            if not native.write_match_rows(rows, sys.stdout.buffer):
+            if not native.write_match_rows(rows, binout):
                 for ai, bi, s, e in rows.tolist():
                     report(ai, bi, s, e)
             else:
-                sys.stdout.buffer.flush()
+                binout.flush()
         else:
             for ai, bi, s, e in rows.tolist():
                 report(ai, bi, s, e)

@@ -118,7 +118,11 @@ def _score1(cur, xp: np.ndarray, i: int, k: int, score_bit) -> float:
 
 def phase_sweep(p: PBWT, ref: PBWT | None, is_start: bool,
                 r: PBWT | None, n_sparse: int, score_bit) -> PBWT:
-    """phaseSweep (pbwtImpute.c:288-372)."""
+    """phaseSweep (pbwtImpute.c:288-372).
+
+    ``ref`` mirrors the reference's parameter, which its own callers always
+    pass as 0 (the ref-panel threshold machinery is dead there too); kept
+    for signature parity."""
     M, N = p.M, p.N
     if ref is not None and p.M > ref.M:
         raise ValueError("phaseSweep requires ref->M >= p->M")

@@ -211,7 +211,7 @@ def match_scan(W: jnp.ndarray, query_cols: jnp.ndarray,
 
 _WB = 4    # backward-extension window, 32-site words
 _WD = 16   # interval-widening window, rows
-_QC = 16   # compacted reset width (collapses per site rarely exceed this)
+_QC = 64   # compacted reset width (collapses per site rarely exceed this)
 
 
 def _reset_windowed(op, xqf, xpf, NW, Mp):
