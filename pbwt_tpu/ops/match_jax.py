@@ -211,7 +211,7 @@ def match_scan(W: jnp.ndarray, query_cols: jnp.ndarray,
 
 _WB = 4    # backward-extension window, 32-site words
 _WD = 16   # interval-widening window, rows
-_QC = 64   # compacted reset width (collapses per site rarely exceed this)
+_QC_MIN, _QC_MAX = 16, 128   # compacted reset width bounds (see _site_reset)
 
 
 def _reset_windowed(op, xqf, xpf, NW, Mp):
@@ -328,15 +328,19 @@ def _site_reset(op, xqf, xpf, NW, Mp):
     a site with more than _QC collapses falls back to the full-width path."""
     collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
     Q = collapsed.shape[0]
-    if Q <= _QC:
+    # collapses per site scale with Q (bursty); a quarter of the batch,
+    # clamped, keeps the compact path covering ~all sites while its
+    # gathers stay far below full width
+    qc = min(_QC_MAX, max(_QC_MIN, Q // 4))
+    if Q <= qc:
         return _reset_windowed(op, xqf, xpf, NW, Mp)
     pos = jnp.cumsum(collapsed.astype(jnp.int32)) - 1
     ncol = pos[-1] + 1
 
     def compact_path(op):
         collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
-        comp = jnp.full(_QC + 1, Q, jnp.int32).at[
-            jnp.where(collapsed, pos, _QC)].set(qrows, mode="drop")[:_QC]
+        comp = jnp.full(qc + 1, Q, jnp.int32).at[
+            jnp.where(collapsed, pos, qc)].set(qrows, mode="drop")[:qc]
         valid = comp < Q
         lane = jnp.minimum(comp, Q - 1)
         e_c, f_c, g_c = e[lane], f1[lane], g1[lane]
@@ -346,7 +350,7 @@ def _site_reset(op, xqf, xpf, NW, Mp):
                 f1.at[comp].set(f2, mode="drop"),
                 g1.at[comp].set(g2, mode="drop"))
 
-    return jax.lax.cond(ncol <= _QC, compact_path,
+    return jax.lax.cond(ncol <= qc, compact_path,
                         lambda op: _reset_windowed(op, xqf, xpf, NW, Mp), op)
 
 
