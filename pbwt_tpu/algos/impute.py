@@ -9,7 +9,7 @@ import sys
 import numpy as np
 
 from ..core import crand, engine, pack3 as p3, registry
-from ..core.pbwt import PBWT, Site
+from ..core.pbwt import PBWT
 from ..utils import log, time_update
 from . import match as matchmod
 

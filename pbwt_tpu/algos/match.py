@@ -334,14 +334,27 @@ def match_sequences_indexed(p: PBWT, q: PBWT, report=report_match_stdout) -> Non
         if on_tpu:
             from ..ops import enable_compilation_cache, match_jax
             enable_compilation_cache()
-            rows = match_jax.match_queries_device(p.haplotypes(),
-                                                  q.haplotypes())
-            rows.sort(key=lambda r: (r[0], r[3]))
-            events = {(r[0], r[2], r[3]) for r in rows}
-            for jq, hap, e, k in rows:
-                report(jq, hap, e, k)
+            rows = np.asarray(match_jax.match_queries_device(
+                p.haplotypes(), q.haplotypes())).reshape(-1, 4)
+            order = np.lexsort((np.arange(len(rows)), rows[:, 3],
+                                rows[:, 0]))
+            rows = rows[order]
+            events = np.unique(rows[:, [0, 2, 3]], axis=0)
+            from ..core import native
+            binout = getattr(sys.stdout, "buffer", None)
+            if report is report_match_stdout and binout is not None:
+                sys.stdout.flush()
+                if not native.write_match_rows(rows, binout):
+                    for jq, hap, e, k in rows.tolist():
+                        report(jq, hap, e, k)
+                else:
+                    binout.flush()
+            else:
+                for jq, hap, e, k in rows.tolist():
+                    report(jq, hap, e, k)
             n_tot = max(len(events), 1)
-            tot_len = sum(k - e for (_, e, k) in events)
+            tot_len = int((events[:, 2].astype(np.int64)
+                           - events[:, 1]).sum())
             log(f"Average number of best matches {n_tot / q.M:.1f}, "
                 f"Average length {tot_len / n_tot:.1f}")
             return
@@ -448,14 +461,24 @@ def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
                 qpos[k, aq_] = np.arange(QM)
                 aq_ = engine.forwards_a(aq_, Yq_[k])
             qpos[N, aq_] = np.arange(QM)
-            order = sorted(range(len(rows)),
-                           key=lambda i: (rows[i][3],
-                                          qpos[rows[i][3], rows[i][0]], i))
-            n_tot, tot_len = len(rows), 0
-            for i in order:
-                jq, hap, s, e = rows[i]
-                report(jq, hap, s, e)
-                tot_len += e - s
+            rows = np.asarray(rows).reshape(-1, 4)
+            order = np.lexsort((np.arange(len(rows)),
+                                qpos[rows[:, 3], rows[:, 0]], rows[:, 3]))
+            rows = rows[order]
+            n_tot = len(rows)
+            tot_len = int((rows[:, 3].astype(np.int64) - rows[:, 2]).sum())
+            from ..core import native
+            binout = getattr(sys.stdout, "buffer", None)
+            if report is report_match_stdout and binout is not None:
+                sys.stdout.flush()
+                if not native.write_match_rows(rows, binout):
+                    for jq, hap, s_, e_ in rows.tolist():
+                        report(jq, hap, s_, e_)
+                else:
+                    binout.flush()
+            else:
+                for jq, hap, s_, e_ in rows.tolist():
+                    report(jq, hap, s_, e_)
             log(f"Average number of best matches including alternates "
                 f"{n_tot / QM:.1f}, Average length "
                 f"{tot_len / max(n_tot, 1):.1f}, Av number per position "

@@ -11,9 +11,8 @@ import gzip
 
 import numpy as np
 
-from ..core import registry
 from ..core.pbwt import PBWT
-from ..utils import log, time_update, fopen_tag
+from ..utils import time_update, fopen_tag
 from . import match as matchmod
 
 

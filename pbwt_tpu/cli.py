@@ -5,13 +5,12 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
 
 from . import utils
 from .core import registry
 from .core.pbwt import PBWT
 from .io import pbwtfile, textformats, vcf
-from .utils import log, time_update
+from .utils import time_update
 from .version import MAJOR_VERSION, MINOR_VERSION
 
 HELP = """Program: pbwt

@@ -7,8 +7,7 @@ haplotypes) and pbwtSample.c (subsample/selectSamples).
 
 from __future__ import annotations
 
-import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -11,7 +11,7 @@ Python dicts.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class InsertionDict:

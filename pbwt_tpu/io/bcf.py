@@ -17,7 +17,6 @@ int8 vector-end 0x81.
 
 from __future__ import annotations
 
-import io
 import struct
 import sys
 

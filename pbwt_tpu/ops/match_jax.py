@@ -387,38 +387,68 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
         _, r = jax.lax.sort((inv, w_nat), num_keys=1, is_stable=True)
         return r
 
+    s_iota = jnp.arange(GROUP, dtype=jnp.int32)
+
     def group_step(carry, xs):
         a, d, e, f, g, k = carry
         w_nat, qgrp = xs
         w = sort_gather(w_nat, a)
-        aR, dR, wR = (x.reshape(R, 128) for x in (a, d, w))
-        recs, snaps = [], []
-        for s in range(GROUP):
+
+        # the per-site Pallas divergence kernel fits v5e VMEM up to
+        # R ~ 4096 (Mp ~ 512k haplotypes); larger panels advance with a
+        # stable 4-plane lax.sort instead (slower per site, no VMEM bound)
+        use_kernel = R <= 4096
+
+        def site_step(st, sxs):
+            aR, dR, wR, e, f, g = st
+            s, xk = sxs
             kk = k + s
-            xk = qgrp[s]
-            snaps.append(aR.reshape(-1))
-            a2, d2, w2, u2, cnt = partition_ad_step(aR, dR, wR, s, kk)
-            c = cnt[0]
-            u = u2.reshape(-1)
+            snap = aR.reshape(-1)
+            if use_kernel:
+                a2, d2, w2, u2, cnt = partition_ad_step(aR, dR, wR, s, kk)
+                c = cnt[0]
+                u = u2.reshape(-1)
+            else:
+                aF, dF, wF = (x.reshape(-1) for x in (aR, dR, wR))
+                key = (jax.lax.shift_right_logical(wF, s) & 1).astype(
+                    jnp.uint8)
+                mask0 = key == 0
+                r0 = jnp.cumsum(mask0.astype(jnp.int32))
+                c = r0[-1]
+                u = r0 - mask0                     # exclusive zero ranks
+                prev0 = jnp.concatenate([jnp.zeros(1, bool), mask0[:-1]])
+                prev1 = jnp.concatenate([jnp.zeros(1, bool), (~mask0)[:-1]])
+                seed = dF.at[0].max(kk + 1)
+                pseg = _segmented_running_max(seed, prev0)
+                qseg = _segmented_running_max(seed, prev1)
+                payload = jnp.where(mask0, pseg, qseg)
+                _, aN, dN, wN = jax.lax.sort((key, aF, payload, wF),
+                                             num_keys=1, is_stable=True)
+                dN = dN.at[0].set(kk + 2)
+                a2 = aN.reshape(R, 128)
+                d2 = dN.reshape(R, 128)
+                w2 = wN.reshape(R, 128)
             fg = jnp.concatenate([f, g])
             ufg = jnp.where(fg == Mp, c, u[jnp.minimum(fg, Mp - 1)])
             fg1 = jnp.where(jnp.concatenate([xk, xk]) != 0,
                             c + fg - ufg, ufg)
             f1, g1 = fg1[:Q], fg1[Q:]
             collapsed = g1 <= f1
-            recs.append((collapsed, e, f, g))
-            dflat = d2.reshape(-1)
-            aflat = a2.reshape(-1)
+            rec = (collapsed, e, f, g)
             e, f, g = jax.lax.cond(
                 jnp.any(collapsed),
                 lambda op: _site_reset(op, xqf, xpf, NW, Mp),
                 lambda op: (op[1], op[2], op[3]),
-                (collapsed, e, f1, g1, dflat, aflat, kk, qrows))
-            aR, dR, wR = a2, d2, w2
-        mask_g, e_g, f_g, g_g = (jnp.stack([r[i] for r in recs])
-                                 for i in range(4))
+                (collapsed, e, f1, g1, d2.reshape(-1), a2.reshape(-1),
+                 kk, qrows))
+            return (a2, d2, w2, e, f, g), rec + (snap,)
+
+        st0 = (a.reshape(R, 128), d.reshape(R, 128), w.reshape(R, 128),
+               e, f, g)
+        (aR, dR, _, e, f, g), (mask_g, e_g, f_g, g_g, snaps_g) = \
+            jax.lax.scan(site_step, st0, (s_iota, qgrp))
         return ((aR.reshape(-1), dR.reshape(-1), e, f, g, k + GROUP),
-                (mask_g, e_g, f_g, g_g, jnp.stack(snaps)))
+                (mask_g, e_g, f_g, g_g, snaps_g))
 
     qgrps = qcols.reshape(Ngs, GROUP, Q)
     carry, (mask, es, fs, gs, snaps) = jax.lax.scan(group_step, carry,
@@ -547,7 +577,7 @@ def match_queries_device(Xp: np.ndarray, Xq: np.ndarray):
                                rec_off, rec_q, rec_e, rec_f, rec_g,
                                out.reshape(-1), total)
         assert n == total
-        return [tuple(int(v) for v in row) for row in out[:total]]
+        return out[:total].copy()
 
     Ysort = np.unpackbits(ybits_h, axis=1)[:, :M]
     rows: list[tuple[int, int, int, int]] = []
@@ -558,7 +588,7 @@ def match_queries_device(Xp: np.ndarray, Xq: np.ndarray):
                 rows.append((int(rec_q[r]), int(a[i]), int(rec_e[r]), k))
         if k < N:
             a = engine.forwards_a(a, Ysort[k])
-    return rows
+    return np.asarray(rows, np.int32).reshape(-1, 4)
 
 
 def _pow2_pad(n: int) -> int:
@@ -676,10 +706,9 @@ class DeviceMatcher:
                     rows[:, 1] = ids[p1:][:n2]
                     out_rows.append(rows)
         if not out_rows:
-            return []
+            return np.zeros((0, 4), np.int32)
         allrows = np.concatenate(out_rows)
-        allrows = allrows[allrows[:, 1] < M]
-        return [tuple(int(v) for v in row) for row in allrows]
+        return allrows[allrows[:, 1] < M]
 
     @staticmethod
     def _record_indices(si, se, sf, sg, base, Q, Mp):

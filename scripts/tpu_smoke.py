@@ -94,7 +94,7 @@ def check_matcher():
         rows_ref = mj.match_queries_device(Xp, Xq)
     finally:
         jax.default_backend = orig
-    assert rows_tpu == rows_ref, (
+    assert np.array_equal(np.asarray(rows_tpu), np.asarray(rows_ref)), (
         f"matcher rows differ: {len(rows_tpu)} vs {len(rows_ref)}")
     print(f"PASS kernel matcher == portable ({len(rows_tpu)} rows)")
 

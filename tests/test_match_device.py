@@ -29,6 +29,7 @@ def test_device_match_equals_indexed(seed, M):
     rows_host = []
     matchmod.match_sequences_indexed(p, q,
                                      lambda a, b, s, e: rows_host.append((a, b, s, e)))
-    dev = sorted(r for r in rows_dev if r[2] != r[3])
+    dev = sorted(tuple(r) for r in np.asarray(rows_dev).tolist()
+                 if r[2] != r[3])
     host = sorted(r for r in rows_host if r[2] != r[3])
     assert dev == host
