@@ -22,7 +22,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pbwt_tpu.ops import build as dbuild
+    from pbwt_tpu.ops import build as dbuild, enable_compilation_cache
+    enable_compilation_cache()       # reuse compiled executables across runs
 
     # N large enough that the fixed per-invocation dispatch latency
     # (~60 ms through a tunneled backend) is amortized to <5% of runtime
