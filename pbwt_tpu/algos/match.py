@@ -128,6 +128,43 @@ def match_maximal_within(p: PBWT, report) -> None:
             a, d = engine.forwards_ad(a, d, y, k)
 
 
+def match_long_within1(p: PBWT, T: int, report) -> None:
+    """Start-less long-match scan — paper algorithm 3 (matchLongWithin1,
+    pbwtMatch.c:60-83).
+
+    The reference function is dead code (pbwtLongMatches calls only variant
+    2) and as written is broken: its k-loop never advances the cursor, and
+    the report indexes ``u->a`` with indices into the local allele lists.
+    This implements what the function is annotated as — Durbin 2014
+    algorithm 3: per site k, split rows into blocks at divergence breaks
+    d[i] > k - T and report every cross-allele pair inside a block with
+    end=k and start=0 ("0 is wrong! - can't get start", pbwtMatch.c:73).
+    Per end position k, the unordered {ai, bi} pair set reported equals
+    matchLongWithin2's (variant 2 orders pairs by row, this one reports
+    (0-allele row, 1-allele row)).
+    """
+    Y = p.decoded(True)
+    M, N = p.M, p.N
+    a = (p.aFstart if p.aFstart is not None else np.arange(M, dtype=np.int32)).copy()
+    d = np.zeros(M + 1, dtype=np.int32)
+    d[0] = 1
+    d[M] = 1
+    for k in range(N + 1):
+        y = Y[min(k, N - 1)]
+        alist: list[int] = []
+        blist: list[int] = []
+        for i in range(M):
+            if d[i] > k - T:
+                for ai in alist:
+                    for bi in blist:
+                        report(ai, bi, 0, k)
+                alist = []
+                blist = []
+            (alist if y[i] == 0 else blist).append(int(a[i]))
+        if k < N:
+            a, d = engine.forwards_ad(a, d, y, k)
+
+
 def match_long_within(p: PBWT, T: int, report) -> None:
     """Algorithm 3 variant with starts (matchLongWithin2, pbwtMatch.c:85-113)."""
     from ..core import native

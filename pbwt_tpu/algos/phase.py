@@ -9,6 +9,7 @@ import numpy as np
 from ..core import engine
 from ..core import native, registry
 from ..core.pbwt import PBWT
+from .. import utils
 from ..utils import log, time_update
 
 
@@ -262,7 +263,9 @@ def phase(p: PBWT, n_sparse: int) -> PBWT:
         p.build_reverse()
     r = phase_sweep(p, None, False, None, 2, score_bit)
     q = phase_sweep(p, None, True, r, n_sparse, score_bit)
-    log("After forward pass: ")
+    # fprintf without newline (pbwtImpute.c): phaseCompare's stats complete
+    # the line
+    utils.log_file.write("After forward pass: ")
     phase_compare(p, q)
     q.sites = p.sites
     q.chrom = p.chrom

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import resource
 import sys
-import time
 
 log_file = sys.stderr
 
@@ -19,25 +18,30 @@ def log(msg: str) -> None:
     log_file.flush()
 
 
+_is_first = True
 _last_user = 0.0
 _last_sys = 0.0
 _last_rss = 0
-_last_wall = time.time()
 
 
 def time_update(file=None) -> None:
-    """Per-stage resource report, analogous to timeUpdate (utils.c:173-198)."""
-    global _last_user, _last_sys, _last_rss, _last_wall
+    """Per-stage resource report — same line shape as the reference's
+    timeUpdate (utils.c:173-198): silent on the first call (isFirst), then
+    ``user\\t<d>\\tsystem\\t<d>\\tmax_RSS\\t<d>\\tMemory\\t<n>``.  Memory is
+    the reference's cumulative counting-allocator total; the closest cheap
+    Python analogue is the interpreter's live allocation-block count."""
+    global _is_first, _last_user, _last_sys, _last_rss
     file = file or log_file
     ru = resource.getrusage(resource.RUSAGE_SELF)
-    wall = time.time()
-    print(f"user\t{ru.ru_utime - _last_user:.6f}\tsystem\t{ru.ru_stime - _last_sys:.6f}"
-          f"\twall\t{wall - _last_wall:.3f}"
-          f"\tmax_RSS\t{ru.ru_maxrss - _last_rss}", file=file)
-    file.flush()
+    if not _is_first:
+        print(f"user\t{ru.ru_utime - _last_user:.6f}"
+              f"\tsystem\t{ru.ru_stime - _last_sys:.6f}"
+              f"\tmax_RSS\t{ru.ru_maxrss - _last_rss}"
+              f"\tMemory\t{sys.getallocatedblocks()}", file=file)
+        file.flush()
+    _is_first = False
     _last_user, _last_sys = ru.ru_utime, ru.ru_stime
     _last_rss = ru.ru_maxrss
-    _last_wall = wall
 
 
 def fopen_tag(root: str, tag: str, mode: str):

@@ -85,18 +85,28 @@ def data_dir(tmp_path_factory):
     return str(d)
 
 
-def run_ref(ref_bin, args, cwd):
+def run_ref(ref_bin, args, cwd, with_err=False):
     res = subprocess.run([ref_bin] + args, capture_output=True, cwd=cwd)
     assert res.returncode == 0, res.stderr[-300:]
-    return res.stdout
+    return (res.stdout, res.stderr) if with_err else res.stdout
 
 
-def run_ours(args, cwd):
+def run_ours(args, cwd, with_err=False):
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
     res = subprocess.run([sys.executable, "-m", "pbwt_tpu"] + args,
                          capture_output=True, cwd=cwd, env=env)
     assert res.returncode == 0, res.stderr[-300:]
-    return res.stdout
+    return (res.stdout, res.stderr) if with_err else res.stdout
+
+
+# timeUpdate resource lines (utils.c:173-198): shape must match, numbers are
+# machine noise
+_TIMING = __import__("re").compile(
+    rb"^user\t\S+\tsystem\t\S+\tmax_RSS\t\S+\tMemory\t\S+$", 8)  # re.M
+
+
+def norm_stderr(err: bytes) -> bytes:
+    return _TIMING.sub(b"user\t#\tsystem\t#\tmax_RSS\t#\tMemory\t#", err)
 
 
 CASES = [
@@ -136,7 +146,12 @@ CASES = [
 
 @pytest.mark.parametrize("name,args", CASES, ids=[c[0] for c in CASES])
 def test_stdout_identical(ref_bin, data_dir, name, args):
-    assert run_ref(ref_bin, args, data_dir) == run_ours(args, data_dir)
+    """stdout byte-identical; stderr (logFile) identical after normalizing
+    the numeric fields of timeUpdate lines."""
+    r_out, r_err = run_ref(ref_bin, args, data_dir, with_err=True)
+    o_out, o_err = run_ours(args, data_dir, with_err=True)
+    assert r_out == o_out
+    assert norm_stderr(r_err) == norm_stderr(o_err)
 
 
 def test_match_and_impute_pipeline(ref_bin, data_dir):

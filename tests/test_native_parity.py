@@ -133,3 +133,19 @@ def test_phase_stop_max_parity():
         lib.phase_stop_max(np.ascontiguousarray(d), y, x, M, bp, bm)
         assert np.array_equal(bp, _suffix_stop_max(d, y, x, M))
         assert np.array_equal(bm, _prefix_stop_max(d, y, x, M))
+
+
+def test_long_within1_pairs_match_variant2():
+    """Algorithm 3 (start-less, matchLongWithin1) reports the same
+    unordered {ai, bi} pair set per end position as variant 2."""
+    from pbwt_tpu.algos import match as matchmod
+    X = mosaic(3, 50, 120)
+    p = _mk(X)
+    v1, v2 = set(), set()
+    matchmod.match_long_within1(
+        p, 15, lambda ai, bi, s, e: v1.add((min(ai, bi), max(ai, bi), e))
+        if s != e else None)
+    matchmod.match_long_within(
+        p, 15, lambda ai, bi, s, e: v2.add((min(ai, bi), max(ai, bi), e))
+        if s != e else None)
+    assert v1 == v2 and v1
