@@ -13,36 +13,80 @@ from ..core.pbwt import PBWT
 from ..utils import log, time_update
 
 
-def pretty_plot(p: PBWT, fp, K: int) -> None:
+def _stream_sorted_columns(p: PBWT, chunk: int = 512):
+    """Yield (k0, Ychunk) with Ychunk (nc, M) sorted-order columns, decoding
+    the pack3 stream incrementally so live memory stays O(chunk * M)
+    (the reference materialises one column at a time through its cursor,
+    pbwtCore.c:527-585; full decode would be O(N * M))."""
+    from ..core import native
+    lib = native.get_lib()
+    if p.yz and lib is not None and p._decoded_f is None:
+        buf = np.frombuffer(bytes(p.yz), np.uint8)
+        off = 0
+        for k0 in range(0, p.N, chunk):
+            nc = min(chunk, p.N - k0)
+            out = np.empty((nc, p.M), np.uint8)
+            used = lib.p3_decode_cols(buf[off:], len(buf) - off, nc, p.M,
+                                      out.reshape(-1))
+            if used < 0:
+                raise ValueError("corrupt pack3 stream")
+            off += used
+            yield k0, out
+        return
     Y = p.decoded(True)
+    for k0 in range(0, p.N, chunk):
+        yield k0, Y[k0:k0 + chunk]
+
+
+def pretty_plot(p: PBWT, fp, K: int) -> None:
+    """prettyPlot (pbwtMain.c:60-78): rows in sort order at site K, columns
+    K-100..K+20.  Streams the pack3 cursor; only the 121-column window is
+    ever materialised in natural order."""
+    lo, hi = K - 100, min(K + 21, p.N)
     a = p.aFstart.copy()
-    for i in range(K):
-        a = engine.forwards_a(a, Y[i])
-    hap = p.haplotypes()
+    aK = a
+    win = np.zeros((max(hi - lo, 0), p.M), np.uint8)
+    done = False
+    for k0, Yc in _stream_sorted_columns(p):
+        if done:
+            break
+        for s in range(Yc.shape[0]):
+            k = k0 + s
+            if k >= hi:
+                done = True
+                break
+            if k >= lo:
+                win[k - lo, a] = Yc[s]    # natural order: column k is in
+            if k == K:                    # a_k order (yz sorted per site)
+                aK = a
+            a = engine.forwards_a(a, Yc[s])
+    rows = win[:, aK].T                   # (M, window) in sort order at K
     for j in range(p.M):
-        row = hap[a[j]]
-        fp.write("".join("01"[v] for v in row[K - 100:K]))
-        fp.write(f" {'01'[row[K]]} ")
-        fp.write("".join("01"[v] for v in row[K + 1:K + 20]))
+        row = rows[j]
+        fp.write("".join("01"[v] for v in row[:K - lo]))
+        fp.write(f" {'01'[row[K - lo]]} ")
+        fp.write("".join("01"[v] for v in row[K - lo + 1:K - lo + 20]))
         fp.write("\n")
 
 
 def export_site_info(p: PBWT, fp, f1: int, f2: int) -> None:
-    """Print d[] and y[] for sites with f1 <= allele-count < f2."""
-    Y = p.decoded(True)
+    """Print d[] and y[] for sites with f1 <= allele-count < f2 (streaming)."""
     a = p.aFstart.copy()
     d = np.zeros(p.M + 1, dtype=np.int32)
     d[0] = 1
     d[p.M] = 1
     n = 0
-    for i in range(p.N):
-        y = Y[i]
-        f = int(np.count_nonzero(y))
-        if f1 <= f < f2:
-            fp.write(" ".join(f"{int(y[j])} {i - int(d[j])}" for j in range(p.M)))
-            fp.write(" \n")
-            n += 1
-        a, d = engine.forwards_ad(a, d, y, i)
+    for k0, Yc in _stream_sorted_columns(p):
+        for s in range(Yc.shape[0]):
+            i = k0 + s
+            y = Yc[s]
+            f = int(np.count_nonzero(y))
+            if f1 <= f < f2:
+                fp.write(" ".join(f"{int(y[j])} {i - int(d[j])}"
+                                  for j in range(p.M)))
+                fp.write(" \n")
+                n += 1
+            a, d = engine.forwards_ad(a, d, y, i)
     log(f"{n} rows exported with allele count f, {f1} <= f < {f2}")
 
 
@@ -59,8 +103,14 @@ def site_frequency_spectrum(p: PBWT) -> None:
     """siteFrequencySpectrum (pbwtMain.c:104-143): log-binned SFS; also fills
     Site.freq and writes sites.freq when sites are present."""
     time_update()
-    Y = p.decoded(True)
-    counts1 = (Y != 0).sum(axis=1)
+    counts1 = None
+    if p.yz and p._decoded_f is None:
+        from ..core import native
+        c0 = native.col_counts(p.yz, p.M, p.N)
+        if c0 is not None:      # O(M) live memory: counts off the RLE bytes
+            counts1 = p.M - c0
+    if counts1 is None:
+        counts1 = (p.decoded(True) != 0).sum(axis=1)
     hist = np.bincount(counts1, minlength=p.M + 1)
     if p.sites is not None:
         from ..core import registry

@@ -316,3 +316,16 @@ def test_binary_roundtrip_identical(ref_bin, data_dir):
     for t in ("pbwt", "sites", "reverse"):
         assert (open(f"{d}/refall.{t}", "rb").read()
                 == open(f"{d}/ourall.{t}", "rb").read()), t
+
+
+def test_pretty_siteinfo_identical(ref_bin, data_dir):
+    """prettyPlot / exportSiteInfo file outputs (pbwtMain.c:60-100); ours
+    streams the pack3 cursor instead of materialising the matrix."""
+    d = data_dir
+    run_ref(ref_bin, ["-readMacs", "sim.macs", "-pretty", "rp.txt", "150"], d)
+    run_ours(["-readMacs", "sim.macs", "-pretty", "op.txt", "150"], d)
+    assert open(f"{d}/rp.txt").read() == open(f"{d}/op.txt").read()
+    run_ref(ref_bin, ["-readMacs", "sim.macs", "-siteInfo", "rs.txt",
+                      "5", "40"], d)
+    run_ours(["-readMacs", "sim.macs", "-siteInfo", "os.txt", "5", "40"], d)
+    assert open(f"{d}/rs.txt").read() == open(f"{d}/os.txt").read()
