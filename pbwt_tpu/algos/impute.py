@@ -213,9 +213,9 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
         for k_ref in range(p_ref.N):
             ref_sites[k_ref].refFreq = float(ref_freq[k_ref])
         T, Nref = p_old.M, p_ref.N
-        import os
+        from ..ops import device_requested
         use_device = False
-        if os.environ.get("PBWT_TPU_DEVICE"):
+        if device_requested():
             import jax
             try:
                 use_device = jax.default_backend() == "tpu"

@@ -240,8 +240,8 @@ def copy_log_likelihood_drop_one(p: PBWT, theta: float, rho: float) -> float:
     ops/likelihood_jax carries the copy matrix on device (this is the
     reference's "explicitly slow path" and the biggest single win from
     the MXU)."""
-    import os
-    if os.environ.get("PBWT_TPU_DEVICE"):
+    from ..ops import device_requested
+    if device_requested(exact=False):
         import jax
         if jax.default_backend() == "tpu":
             from ..ops import enable_compilation_cache

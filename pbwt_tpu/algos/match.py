@@ -361,8 +361,8 @@ def match_sequences_indexed(p: PBWT, q: PBWT, report=report_match_stdout) -> Non
     identical."""
     if q.N != p.N:
         raise ValueError(f"query length {q.N} != PBWT length {p.N}")
-    import os
-    if os.environ.get("PBWT_TPU_DEVICE") and p.M > 512:
+    from ..ops import device_requested
+    if device_requested() and p.M > 512:
         import jax
         try:
             on_tpu = jax.default_backend() == "tpu"
@@ -477,8 +477,8 @@ def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
         raise ValueError(f"query length {q.N} != PBWT length {p.N}")
     M, N, QM = p.M, p.N, q.M
 
-    import os
-    if os.environ.get("PBWT_TPU_DEVICE") and M > 512:
+    from ..ops import device_requested
+    if device_requested() and M > 512:
         import jax
         try:
             on_tpu = jax.default_backend() == "tpu"

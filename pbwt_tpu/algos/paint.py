@@ -155,9 +155,11 @@ def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
         flp = fopen_tag(file_root, "localancestry.out", "w")
         flp.write("pos" + "".join(f" IND{i + 1}" for i in range(n_inds)) + "\n")
 
-    import os
+    from ..ops import device_requested
     use_device = False
-    if os.environ.get("PBWT_TPU_DEVICE") and not outputlocal:
+    # exact=False: device paint matrices are f32-close, not byte-identical
+    # (PARITY.md), so painting routes to the device only on explicit request
+    if device_requested(exact=False) and not outputlocal:
         import jax
         try:
             use_device = jax.default_backend() == "tpu"

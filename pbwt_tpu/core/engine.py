@@ -257,7 +257,8 @@ def build_from_haplotypes(X: np.ndarray, a_init: np.ndarray | None = None
     M, N = X.shape
     a = np.arange(M, dtype=np.int32) if a_init is None else np.asarray(a_init, np.int32).copy()
 
-    if os.environ.get("PBWT_TPU_DEVICE") and a_init is None and M * N > 1 << 20:
+    from ..ops import device_requested
+    if device_requested() and a_init is None and M * N > 1 << 20:
         # route large builds through the device engine (byte-identical; see
         # tests/test_device_build.py)
         from ..ops.build import build_pbwt_device

@@ -31,10 +31,10 @@ def _maybe_checkpoint(u: engine.WriteCursor, p: PBWT) -> None:
 # --------------------------------------------------------------------------
 
 def read_vcfq(fp) -> PBWT:
-    import os
-    # with PBWT_TPU_DEVICE set (and no checkpoint cadence to honour), columns
+    from ..ops import device_requested
+    # on a device backend (and with no checkpoint cadence to honour), columns
     # are accumulated and the whole build runs on the device engine
-    batch = bool(os.environ.get("PBWT_TPU_DEVICE")) and not registry.n_checkpoint
+    batch = device_requested() and not registry.n_checkpoint
     cols: list[np.ndarray] = []
     p: PBWT | None = None
     u: engine.WriteCursor | None = None

@@ -5,6 +5,33 @@ import os as _os
 _cache_enabled = False
 
 
+def device_requested(exact: bool = True) -> bool:
+    """Should algorithms route through the device engine?
+
+    The device engine is the default on a TPU backend (this is a TPU-native
+    framework); ``PBWT_TPU_DEVICE=0`` (or empty) is the escape hatch back to
+    the host/C paths and any other value forces the request — e.g. to
+    exercise the portable device code path on CPU in tests.
+
+    Paths whose device outputs are only f32-close rather than byte-identical
+    to the host (painting's printed matrices, the copy-model likelihood) pass
+    ``exact=False``: they stay host-default everywhere and route to the
+    device only on an explicit ``PBWT_TPU_DEVICE=1``, keeping the reference
+    bit-parity contract intact by default.
+    """
+    v = _os.environ.get("PBWT_TPU_DEVICE")
+    if v is not None:
+        return v not in ("", "0")
+    if not exact:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def enable_compilation_cache() -> None:
     """Persist compiled TPU executables across processes.
 

@@ -131,6 +131,7 @@ def check_match_dynamic_route():
         return buf.getvalue()
 
     prev = os.environ.pop("PBWT_TPU_DEVICE", None)
+    os.environ["PBWT_TPU_DEVICE"] = "0"     # unset now defaults to device
     host_out = run()
     os.environ["PBWT_TPU_DEVICE"] = "1"
     try:
@@ -188,6 +189,7 @@ def check_impute_paint_routes():
                 tuple(round(s.imputeInfo, 9) for s in p_ref.sites))
 
     prev = os.environ.pop("PBWT_TPU_DEVICE", None)
+    os.environ["PBWT_TPU_DEVICE"] = "0"     # unset now defaults to device
     host = run_impute()
     os.environ["PBWT_TPU_DEVICE"] = "1"
     try:
@@ -203,7 +205,7 @@ def check_impute_paint_routes():
         files = ("chunkcounts.out", "chunklengths.out",
                  "regionsquaredchunkcounts.out", "regionchunkcounts.out")
         with tempfile.TemporaryDirectory() as td:
-            os.environ.pop("PBWT_TPU_DEVICE", None)
+            os.environ["PBWT_TPU_DEVICE"] = "0"
             hpaint.paint_ancestry_matrix(pp_, f"{td}/host", 5)
             os.environ["PBWT_TPU_DEVICE"] = "1"
             hpaint.paint_ancestry_matrix(pp_, f"{td}/dev", 5)
