@@ -214,27 +214,90 @@ _WD = 16   # interval-widening window, rows
 _QC_MIN, _QC_MAX = 16, 128   # compacted reset width bounds (see _site_reset)
 
 
+def _mxu_gather_plane(plane, idx):
+    """plane (R, 128) int32 with values < 2^24; idx (K,) in [0, R*128).
+
+    XLA's 1-D gather on TPU is near-serial (~28 ns/element for int32), so
+    K lookups cost ~28*K us; this instead rides the MXU: a one-hot (K, R)
+    f32 row-select matmul followed by a masked lane reduce.  Exact because
+    every table value fits a f32 mantissa (Mp <= 2^20 rows, d <= N+2).
+    """
+    K = idx.shape[0]
+    R = plane.shape[0]
+    r = idx >> 7
+    l = idx & 127
+    oh = (r[:, None] == jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
+          ).astype(jnp.float32)
+    rows = jax.lax.dot_general(oh, plane.astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    lm = l[:, None] == jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+    return jnp.sum(jnp.where(lm, rows, 0.0), axis=1).astype(jnp.int32)
+
+
+def _mxu_window16(plane, start, Mp):
+    """Contiguous window plane[start + j], j = 0.._WD-1, for each lane.
+
+    start (K,) may stick out of [0, Mp): positions below 0 return
+    plane[0, 0] (what a jnp.clip-then-load would read); positions at or
+    beyond Mp return garbage — callers mask those with their own
+    sentinels.  A 16-wide contiguous window spans at most two 128-lane
+    rows, so this is one (2K, R) one-hot matmul + a 16-step masked lane
+    extraction instead of 16K near-serial gathers.
+    """
+    K = start.shape[0]
+    R = plane.shape[0]
+    start_eff = jnp.maximum(start, 0)
+    under_off = start_eff - start            # >0 iff start < 0
+    r0 = jnp.minimum(start_eff >> 7, R - 1)
+    l0 = (start_eff & 127) - under_off       # extraction offset, may be < 0
+    rr = jnp.concatenate([r0, jnp.minimum(r0 + 1, R - 1)])
+    oh = (rr[:, None] == jax.lax.broadcasted_iota(jnp.int32, (2 * K, R), 1)
+          ).astype(jnp.float32)
+    rows = jax.lax.dot_general(oh, plane.astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    two = jnp.concatenate([rows[:K], rows[K:]], axis=1)       # (K, 256)
+    li = jax.lax.broadcasted_iota(jnp.int32, (K, 256), 1)
+    out = []
+    for j in range(_WD):
+        sel = li == (l0 + j)[:, None]
+        out.append(jnp.sum(jnp.where(sel, two, 0.0), axis=1))
+    vals = jnp.stack(out, axis=1).astype(jnp.int32)           # (K, _WD)
+    # low-side clip: positions below 0 read plane[0, 0] like jnp.clip would
+    jd = jnp.arange(_WD, dtype=jnp.int32)
+    under = (start[:, None] + jd[None, :]) < 0
+    return jnp.where(under, plane[0, 0], vals)
+
+
 def _reset_windowed(op, xqf, xpf, NW, Mp):
     """Vectorised post-collapse (e, f, g) reset (pbwtMatch.c:309-320).
 
     Same semantics as the reference's three scalar scans, restructured for
-    the VPU: a fixed window of gathered values handles the typical case in
-    straight-line code; rare overruns fall into cond-gated while_loops whose
-    bodies run only when some query still needs them.
+    the VPU/MXU: d/a lookups ride one-hot matmuls (_mxu_gather_plane),
+    widening scans read 16-wide contiguous windows (_mxu_window16), and
+    rare overruns fall into cond-gated while_loops whose bodies run only
+    when some query still needs them.
     """
     collapsed, e, f1, g1, dflat, a_new, kk, qrows = op
+    d_plane = dflat.reshape(-1, 128)
+    a_plane = a_new.reshape(-1, 128)
 
     def dval(idx):
         return jnp.where(idx >= Mp, kk + 2,
                          dflat[jnp.clip(idx, 0, Mp - 1)])
 
-    e1 = dval(f1) - 1
+    def dval_mxu(idx):
+        v = _mxu_gather_plane(d_plane, jnp.clip(idx, 0, Mp - 1))
+        return jnp.where(idx >= Mp, kk + 2, v)
+
+    e1 = dval_mxu(f1) - 1
     jbit = jnp.clip(e1, 0, NW * 32 - 1)
     wq = xqf[qrows * NW + (jbit >> 5)]
     xe1 = (wq >> (8 * ((jbit >> 3) & 3) + 7 - (jbit & 7))) & 1
     branch_a = (f1 == Mp) | ((f1 > 0) & (xe1 == 0))
     fsel = jnp.where(branch_a, g1 - 1, f1)
-    ref_hap = a_new[jnp.clip(fsel, 0, Mp - 1)]
+    ref_hap = _mxu_gather_plane(a_plane, jnp.clip(fsel, 0, Mp - 1))
 
     # backward match extension on packed words, windowed
     base = jnp.maximum(e1 - 1, 0)
@@ -258,15 +321,16 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
     # widen windows computed from the window e1 (lanes whose backward
     # extension overran the window are re-done in the fallback branch)
     jd = jnp.arange(_WD, dtype=jnp.int32)
-    # down from fsel while d <= e1 (d[<=0] is the k+2 sentinel)
-    dd = dval(fsel[:, None] - jd[None, :])
+    # down from fsel while d <= e1 (d[<=0] is the k+2 sentinel); fsel <=
+    # Mp-1 here so only the low side can stick out (plane[0,0] = sentinel)
+    dd = jnp.flip(_mxu_window16(d_plane, fsel - (_WD - 1), Mp), axis=1)
     stopd = dd > e1_win[:, None]
     foundd = jnp.any(stopd, axis=1)
     f_down = fsel - jnp.argmax(stopd, axis=1)
     pend_d = collapsed & branch_a & (~foundd | pend_bw)
     # up from f1+1 while gc < Mp and d[gc] <= e1
     du = jnp.where(f1[:, None] + 1 + jd[None, :] >= Mp, kk + 2,
-                   dval(f1[:, None] + 1 + jd[None, :]))
+                   _mxu_window16(d_plane, f1 + 1, Mp))
     stopu = du > e1_win[:, None]
     foundu = jnp.any(stopu, axis=1)
     g_up = f1 + 1 + jnp.argmax(stopu, axis=1)
@@ -324,13 +388,17 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
 
 def _site_reset(op, xqf, xpf, NW, Mp):
     """Reset dispatcher: compact the (typically few) collapsed lanes to a
-    _QC-wide vector so the reset's gathers touch _QC rather than Q elements;
-    a site with more than _QC collapses falls back to the full-width path."""
+    _QC-wide vector so the reset's lookups touch _QC rather than Q lanes;
+    a site with more than _QC collapses falls back to the full-width path.
+
+    Compaction and write-back are (Q, qc) one-hot f32 matmuls rather than
+    scatter/gather (XLA scatter on TPU is near-serial: ~30 ns/element, so
+    a Q-wide scatter alone would cost ~Q/30 us per site)."""
     collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
     Q = collapsed.shape[0]
     # collapses per site scale with Q (bursty); a quarter of the batch,
     # clamped, keeps the compact path covering ~all sites while its
-    # gathers stay far below full width
+    # lookups stay far below full width
     qc = min(_QC_MAX, max(_QC_MIN, Q // 4))
     if Q <= qc:
         return _reset_windowed(op, xqf, xpf, NW, Mp)
@@ -339,16 +407,31 @@ def _site_reset(op, xqf, xpf, NW, Mp):
 
     def compact_path(op):
         collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
-        comp = jnp.full(qc + 1, Q, jnp.int32).at[
-            jnp.where(collapsed, pos, qc)].set(qrows, mode="drop")[:qc]
-        valid = comp < Q
-        lane = jnp.minimum(comp, Q - 1)
-        e_c, f_c, g_c = e[lane], f1[lane], g1[lane]
+        # one-hot (Q, qc): query q occupies compact lane pos[q] if collapsed
+        ohc = (jnp.where(collapsed, pos, -1)[:, None] ==
+               jax.lax.broadcasted_iota(jnp.int32, (Q, qc), 1)
+               ).astype(jnp.float32)
+
+        def compact(v):                      # (Q,) -> (qc,) via ohc^T @ v
+            return jax.lax.dot_general(
+                ohc, v.astype(jnp.float32)[:, None],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
+
+        valid = compact(jnp.ones_like(qrows)) > 0
+        lane = compact(qrows)                # empty lanes -> 0: masked below
+        e_c, f_c, g_c = compact(e), compact(f1), compact(g1)
         e2, f2, g2 = _reset_windowed(
             (valid, e_c, f_c, g_c, dflat, aflat, kk, lane), xqf, xpf, NW, Mp)
-        return (e.at[comp].set(e2, mode="drop"),
-                f1.at[comp].set(f2, mode="drop"),
-                g1.at[comp].set(g2, mode="drop"))
+
+        def expand(v2, v):                   # (qc,) -> (Q,) write-back
+            upd = jax.lax.dot_general(
+                ohc, v2.astype(jnp.float32)[:, None],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
+            return jnp.where(collapsed, upd, v)
+
+        return expand(e2, e), expand(f2, f1), expand(g2, g1)
 
     return jax.lax.cond(ncol <= qc, compact_path,
                         lambda op: _reset_windowed(op, xqf, xpf, NW, Mp), op)
@@ -377,6 +460,9 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
     Q = qcols.shape[1]
     R = Mp // 128
     NW = xq_words.shape[1]
+    # off-TPU the Mosaic kernel runs in interpret mode, which makes the
+    # whole segment path testable on the CPU mesh (tests/ pin cpu)
+    interp = jax.default_backend() != "tpu"
     xqf = xq_words.reshape(-1)
     xpf = xp_words.reshape(-1)
     iota = jnp.arange(Mp, dtype=jnp.int32)
@@ -405,9 +491,10 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
             kk = k + s
             snap = aR.reshape(-1)
             if use_kernel:
-                a2, d2, w2, u2, cnt = partition_ad_step(aR, dR, wR, s, kk)
+                a2, d2, w2, u2, cnt = partition_ad_step(aR, dR, wR, s, kk,
+                                                        interpret=interp)
                 c = cnt[0]
-                u = u2.reshape(-1)
+                uplane = u2
             else:
                 aF, dF, wF = (x.reshape(-1) for x in (aR, dR, wR))
                 key = (jax.lax.shift_right_logical(wF, s) & 1).astype(
@@ -428,8 +515,13 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
                 a2 = aN.reshape(R, 128)
                 d2 = dN.reshape(R, 128)
                 w2 = wN.reshape(R, 128)
+                uplane = u.reshape(R, 128)
             fg = jnp.concatenate([f, g])
-            ufg = jnp.where(fg == Mp, c, u[jnp.minimum(fg, Mp - 1)])
+            # FM interval step: 2Q rank lookups per site ride the MXU
+            # (near-serial XLA gather would cost ~28 ns * 2Q each site)
+            ufg = jnp.where(fg == Mp, c,
+                            _mxu_gather_plane(uplane,
+                                              jnp.minimum(fg, Mp - 1)))
             fg1 = jnp.where(jnp.concatenate([xk, xk]) != 0,
                             c + fg - ufg, ufg)
             f1, g1 = fg1[:Q], fg1[Q:]
