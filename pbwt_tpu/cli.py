@@ -18,6 +18,8 @@ Version: {maj}.{min} (pbwt-tpu)
 Usage: pbwt [ -<command> [options]* ]+
 Commands:
   -log <file>               log file; '-' for stderr
+  -profile <dir>            write a jax.profiler device trace of the rest of
+                            the pipeline to <dir>; adds per-command wall time
   -check                    do various checks
   -stats                    print stats depending on commands; writes to stdout
   -read <file>              read pbwt file; '-' for stdin
@@ -132,6 +134,8 @@ def _main(argv: list[str] | None = None) -> int:
 
     p: PBWT | None = None
     reference_fasta: str | None = None
+    profiling = False
+    t_cmd = 0.0
 
     if not argv:
         sys.stderr.write(HELP.format(maj=MAJOR_VERSION, min=MINOR_VERSION))
@@ -167,6 +171,17 @@ def _main(argv: list[str] | None = None) -> int:
         elif cmd == "-log":
             need(1)
             utils.set_log_file(sys.stderr if argv[1] == "-" else open(argv[1], "w"))
+            argv = argv[2:]
+        elif cmd == "-profile":
+            # device-side tracing: the TPU-native analogue of the
+            # reference's rusage-only timeUpdate (utils.c:173-198, SURVEY
+            # section 5) — per-command wall time plus a jax.profiler trace
+            # viewable in TensorBoard/XProf
+            need(1)
+            import jax
+            jax.profiler.start_trace(argv[1])
+            profiling = True
+            t_cmd = __import__("time").perf_counter()
             argv = argv[2:]
         elif cmd == "-haps":
             need(1)
@@ -538,7 +553,17 @@ def _main(argv: list[str] | None = None) -> int:
         else:
             raise SystemExit(f"unrecognised command {cmd}\n"
                              "Type pbwt without arguments for help")
+        if profiling:
+            import time as _time
+            utils.log(f"wall\t{_time.perf_counter() - t_cmd:.3f} s\t{cmd}")
+            t_cmd = _time.perf_counter()
         time_update()
+    if profiling:
+        import jax
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:          # trace capture is best-effort
+            sys.stderr.write(f"pbwt: profiler stop failed: {e}\n")
     return 0
 
 
