@@ -158,8 +158,8 @@ def cpu_fallback():
 
     from pbwt_tpu.ops import build as dbuild
 
-    M, N = 1 << 14, 1 << 12
-    Mp = dbuild.pad_to(M, 256)
+    M, N = 1 << 13, 1 << 12      # small: the fallback must fit the tail of
+    Mp = dbuild.pad_to(M, 256)   # the driver's own timeout after the child
     w_dev = jnp.asarray(build_words(M, N, Mp))
     a0 = jnp.arange(Mp, dtype=jnp.int32)
 

@@ -11,9 +11,11 @@
  */
 
 #include <stdint.h>
+#include <stdio.h>
 #include <string.h>
 #include <stdlib.h>
 #include <unistd.h>
+#include <zlib.h>
 
 #define EXPORT __attribute__((visibility("default")))
 
@@ -529,6 +531,201 @@ EXPORT void paint_sparse_ind(const int32_t *seg_j, const int32_t *seg_s,
             *indsum += 1.0;
         }
     }
+}
+
+/* Bucket (ai, bi, s, e) int64 match rows by recipient ai: stable counting
+   sort into int32 column arrays + CSR offsets, replacing the numpy
+   argsort/gather path (8.6 GB of int64 traffic at 270M rows). */
+EXPORT void bucket_rows(const int64_t *rows, long n, long M,
+                        int32_t *sj, int32_t *ss, int32_t *se,
+                        int64_t *seg_off)
+{
+    memset(seg_off, 0, (M + 1) * sizeof(int64_t));
+    for (long m = 0; m < n; ++m) ++seg_off[rows[4 * m] + 1];
+    for (long i = 0; i < M; ++i) seg_off[i + 1] += seg_off[i];
+    int64_t *cur = (int64_t *)malloc(M * sizeof(int64_t));
+    memcpy(cur, seg_off, M * sizeof(int64_t));
+    for (long m = 0; m < n; ++m) {
+        const int64_t *r = rows + 4 * m;
+        long p = cur[r[0]]++;
+        sj[p] = (int32_t)r[1];
+        ss[p] = (int32_t)r[2];
+        se[p] = (int32_t)r[3];
+    }
+    free(cur);
+}
+
+/* paintAncestryMatrixSparse, whole-run native path (pbwtPaint.c:211-328):
+   per-individual accumulation with
+     * O(1)-per-site incremental weight normalisation: ssum_k over the
+       active window is the quadratic -A k^2 + B k - C with integer
+       A/B/C updated at window enter/exit (every partial double sum of
+       the reference's per-site loop is an exact integer < 2^53, so the
+       incremental value is bit-identical),
+     * touched-donor lists instead of O(n_inds) region flushes/zeroing,
+     * gzip-streamed output written here (zlib level 6, same bytes'
+       content as the reference's gzprintf tables).
+   Returns 0 on success, -1 on file-open failure. */
+static int cmp_i32(const void *x, const void *y)
+{
+    return *(const int32_t *)x - *(const int32_t *)y;
+}
+
+EXPORT long paint_sparse_all(const int32_t *seg_j, const int32_t *seg_s,
+                             const int32_t *seg_e, const int64_t *seg_off,
+                             long M, long N, long n_inds, long ploidy,
+                             long chunksperregion, double cutoff,
+                             const char *root)
+{
+    static const char *sfx[5] = {
+        "nregions", "chunkcounts", "chunklengths",
+        "regionsquaredchunkcounts", "regionchunkcounts" };
+    gzFile fz[5];
+    char path[4096];
+    for (int f = 0; f < 5; ++f) {
+        snprintf(path, sizeof path, "%s.%s.s.out.gz", root, sfx[f]);
+        fz[f] = gzopen(path, "w6");
+        if (!fz[f]) {
+            for (int g = 0; g < f; ++g) gzclose(fz[g]);
+            return -1;
+        }
+    }
+    gzbuffer(fz[1], 1 << 20); gzbuffer(fz[2], 1 << 20);
+    gzbuffer(fz[3], 1 << 20); gzbuffer(fz[4], 1 << 20);
+
+    double *t_counts = (double *)calloc(n_inds, sizeof(double));
+    double *t_counts2 = (double *)calloc(n_inds, sizeof(double));
+    double *t_counts3 = (double *)calloc(n_inds, sizeof(double));
+    double *tl = (double *)calloc(n_inds, sizeof(double));
+    double *part = (double *)calloc(n_inds, sizeof(double));
+    uint8_t *seen = (uint8_t *)calloc(n_inds, 1);      /* t_counts touched */
+    uint8_t *seenp = (uint8_t *)calloc(n_inds, 1);     /* part touched */
+    int32_t *touch = (int32_t *)malloc(n_inds * sizeof(int32_t));
+    int32_t *touchp = (int32_t *)malloc(n_inds * sizeof(int32_t));
+    long scap = 4096;
+    int32_t *find_ = (int32_t *)malloc(scap * sizeof(int32_t));
+    int32_t *fs = (int32_t *)malloc(scap * sizeof(int32_t));
+    int32_t *fe = (int32_t *)malloc(scap * sizeof(int32_t));
+
+    for (long ii = 0; ii < n_inds; ++ii) {
+        long me = ii;
+        long ntouch = 0, ntouchp = 0;
+        double nreg = 0.0, indsum = 0.0;
+        for (long i = ii * ploidy; i < (ii + 1) * ploidy; ++i) {
+            long lo = seg_off[i], hi = seg_off[i + 1];
+            if (lo >= hi) continue;
+            long nseg = hi - lo;
+            if (nseg > scap) {
+                while (scap < nseg) scap *= 2;
+                find_ = (int32_t *)realloc(find_, scap * sizeof(int32_t));
+                fs = (int32_t *)realloc(fs, scap * sizeof(int32_t));
+                fe = (int32_t *)realloc(fe, scap * sizeof(int32_t));
+            }
+            /* prefilter: donor individual per segment; -1 = excluded from
+               weighting (self individual or below the length cutoff) */
+            for (long m = 0; m < nseg; ++m) {
+                long ind = seg_j[lo + m] / ploidy;
+                int32_t s = seg_s[lo + m], e = seg_e[lo + m];
+                find_[m] = (ind == me
+                            || (double)(e - s) <= cutoff) ? -1 : (int32_t)ind;
+                fs[m] = s; fe[m] = e;
+            }
+            long m1 = 0, n1 = 1, m_stop = nseg - 1, mend = 0;
+            /* active-window integer sums over valid segments:
+               ssum_k = -A k^2 + B k - C, A = count, B = sum(s+e),
+               C = sum(s*e) */
+            long A = 0; int64_t Bs = 0, Cs = 0;
+            for (long k = 1; k < N; ++k) {
+                while (fe[m1] <= k && m1 < m_stop) {
+                    if (n1 % chunksperregion == 0) {
+                        for (long t = 0; t < ntouchp; ++t) {
+                            long j = touchp[t];
+                            double pj = part[j];
+                            if (pj != 0.0) {
+                                t_counts2[j] += pj * pj;
+                                t_counts3[j] += pj;
+                            }
+                            part[j] = 0.0;
+                            seenp[j] = 0;
+                        }
+                        ntouchp = 0;
+                        nreg += 1.0;
+                    }
+                    if (m1 < mend && find_[m1] >= 0) {  /* leaves window */
+                        --A;
+                        Bs -= (int64_t)fs[m1] + fe[m1];
+                        Cs -= (int64_t)fs[m1] * fe[m1];
+                    }
+                    ++m1; ++n1;
+                }
+                while (mend <= m_stop && fs[mend] < k) {
+                    if (mend >= m1 && find_[mend] >= 0) {
+                        ++A;
+                        Bs += (int64_t)fs[mend] + fe[mend];
+                        Cs += (int64_t)fs[mend] * fe[mend];
+                    }
+                    ++mend;
+                }
+                double ssum = (double)(-(int64_t)A * k * k + Bs * k - Cs);
+                if (ssum == 0.0) continue;
+                for (long m = m1; m < mend; ++m) {
+                    long ind = find_[m];
+                    if (ind < 0) continue;
+                    double w = (double)(k - fs[m])
+                               * (double)(fe[m] - k) / ssum;
+                    tl[ind] += w;
+                    double thiscount = w / (double)(fe[m] - fs[m]);
+                    if (!seen[ind]) { seen[ind] = 1; touch[ntouch++] = ind; }
+                    t_counts[ind] += thiscount;
+                    if (!seenp[ind]) {
+                        seenp[ind] = 1;
+                        touchp[ntouchp++] = ind;
+                    }
+                    part[ind] += thiscount;
+                }
+                indsum += 1.0;
+            }
+        }
+        /* part carries across the individual's haplotypes (the reference
+           resets it only at individual boundaries); the final incomplete
+           region is dropped, matching pbwtPaint.c */
+        for (long t = 0; t < ntouchp; ++t) {
+            part[touchp[t]] = 0.0;
+            seenp[touchp[t]] = 0;
+        }
+        ntouchp = 0;
+        if (indsum != 0.0) {
+            for (long t = 0; t < ntouch; ++t) {
+                long j = touch[t];
+                if (tl[j] != 0.0)
+                    tl[j] = tl[j] / indsum * (double)N * (double)ploidy;
+            }
+        }
+        /* ascending-donor output, skipping entries that cancelled to 0 */
+        if (ntouch) {
+            qsort(touch, ntouch, sizeof(int32_t), cmp_i32);
+            for (long t = 0; t < ntouch; ++t) {
+                long j = touch[t];
+                if (t_counts[j] != 0.0) {
+                    gzprintf(fz[1], "%ld %ld %.4f\n", ii + 1, j + 1,
+                             t_counts[j]);
+                    gzprintf(fz[2], "%ld %ld %.4f\n", ii + 1, j + 1, tl[j]);
+                    gzprintf(fz[3], "%ld %ld %.4f\n", ii + 1, j + 1,
+                             t_counts2[j]);
+                    gzprintf(fz[4], "%ld %ld %.4f\n", ii + 1, j + 1,
+                             t_counts3[j]);
+                }
+                t_counts[j] = 0.0; t_counts2[j] = 0.0; t_counts3[j] = 0.0;
+                tl[j] = 0.0; seen[j] = 0;
+            }
+        }
+        gzprintf(fz[0], "%ld %.2f\n", ii + 1, nreg);
+    }
+    for (int f = 0; f < 5; ++f) gzclose(fz[f]);
+    free(t_counts); free(t_counts2); free(t_counts3); free(tl); free(part);
+    free(seen); free(seenp); free(touch); free(touchp);
+    free(find_); free(fs); free(fe);
+    return 0;
 }
 
 /* referenceImpute3 weighted vote (pbwtImpute.c:1204-1232): per reference

@@ -38,6 +38,19 @@ def _collect_match_arrays(p: PBWT):
         rows = (np.asarray(segs, np.int64) if segs
                 else np.zeros((0, 4), np.int64))
     else:
+        lib = native.get_lib()
+        if lib is not None and len(rows):
+            # C counting sort by recipient: one pass over the int64 rows
+            # instead of argsort + fancy-gather (8.6 GB of traffic at the
+            # 100k-panel scale, dominated by this sandbox's page faults)
+            n = len(rows)
+            sj = native.pooled_view((n,), np.int32, "paint:sj")
+            ss = native.pooled_view((n,), np.int32, "paint:ss")
+            se = native.pooled_view((n,), np.int32, "paint:se")
+            seg_off = np.zeros(p.M + 1, np.int64)
+            lib.bucket_rows(np.ascontiguousarray(rows.reshape(-1)), n, p.M,
+                            sj, ss, se, seg_off)
+            return sj, ss, se, seg_off
         rows = rows[:, [0, 1, 2, 3]]
     order = np.argsort(rows[:, 0], kind="stable")
     rows = rows[order]
@@ -274,6 +287,20 @@ def paint_ancestry_matrix_sparse(p: PBWT, file_root: str,
     n_inds = p.M // ploidy
     map_ih = np.arange(p.M) // ploidy
     nregions = np.zeros(n_inds)
+
+    from ..core import native
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "paint_sparse_all"):
+        # whole-run native path: C accumulation (incremental integer
+        # weight sums, touched-donor region flushes) streaming gzipped
+        # tables via zlib; ~3x the per-individual ctypes path
+        sj, ss, se, seg_off = _collect_match_arrays(p)
+        rc = lib.paint_sparse_all(sj, ss, se, seg_off, p.M, p.N, n_inds,
+                                  ploidy, chunksperregion, float(cutoff),
+                                  file_root.encode())
+        if rc == 0:
+            return
+        # fall through to the per-individual path on file-open failure
 
     # compresslevel 6 = zlib default, matching the reference's gzopen "w"
     # (python's default level 9 is ~5x slower for these numeric tables)

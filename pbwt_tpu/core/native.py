@@ -26,7 +26,7 @@ _tried = False
 def _compile() -> bool:
     cc = os.environ.get("CC", "cc")
     cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-           "-o", _SO, _SRC]
+           "-o", _SO, _SRC, "-lz"]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
         return res.returncode == 0
@@ -117,6 +117,11 @@ def get_lib():
     lib.paint_sparse_ind.argtypes = [i32p, i32p, i32p, i64p, L, L, L, L, L,
                                      L, ctypes.c_double, f64p, f64p, f64p,
                                      f64p, f64p, f64p, f64p]
+    lib.bucket_rows.restype = None
+    lib.bucket_rows.argtypes = [i64p, L, L, i32p, i32p, i32p, i64p]
+    lib.paint_sparse_all.restype = L
+    lib.paint_sparse_all.argtypes = [i32p, i32p, i32p, i64p, L, L, L, L, L,
+                                     ctypes.c_double, ctypes.c_char_p]
     lib.impute_vote.restype = None
     lib.impute_vote.argtypes = [i32p, i32p, i32p, i64p, i32p, L, L, u8p, L,
                                 i64p, f64p, u8p, f64p, u8p, f64p, f64p,

@@ -214,6 +214,15 @@ _WD = 16   # interval-widening window, rows
 _QC_MIN, _QC_MAX = 16, 128   # compacted reset width bounds (see _site_reset)
 
 
+def _kernel_rmax() -> int:
+    """Largest (R, 128) plane row count routed through the per-site Mosaic
+    divergence kernel (VMEM-bound). Read at trace time; override with
+    PBWT_TPU_KERNEL_RMAX to probe larger panels on a real chip."""
+    import os
+
+    return int(os.environ.get("PBWT_TPU_KERNEL_RMAX", "4096"))
+
+
 def _mxu_gather_plane(plane, idx):
     """plane (R, 128) int32 with values < 2^24; idx (K,) in [0, R*128).
 
@@ -455,7 +464,8 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
     carry = (a, d, e, f, g, k) with k the global site index.
     Returns (carry', mask, es, fs, gs (Ns, Q), asnaps (Ns, Mp)).
     """
-    from .partition_pallas import partition_ad_step
+    from .partition_pallas import (partition_ad_step,
+                                   partition_ad_step_blocked, blocked_rb)
     Ngs, Mp = W.shape
     Q = qcols.shape[1]
     R = Mp // 128
@@ -481,9 +491,14 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
         w = sort_gather(w_nat, a)
 
         # the per-site Pallas divergence kernel fits v5e VMEM up to
-        # R ~ 4096 (Mp ~ 512k haplotypes); larger panels advance with a
-        # stable 4-plane lax.sort instead (slower per site, no VMEM bound)
-        use_kernel = R <= 4096
+        # R = _KERNEL_RMAX rows of 128 (so Mp = 128 * RMAX haplotypes);
+        # beyond that the block-processed variant keeps only (rb, 128)
+        # intermediates live (partition_ad_step_blocked), lifting the
+        # bound to plane storage (~R <= 24576, Mp ~ 3M on v5e); a stable
+        # 4-plane lax.sort remains as the last-resort fallback
+        use_kernel = R <= _kernel_rmax()
+        rb = blocked_rb(R)
+        use_blocked = (not use_kernel) and rb > 0
 
         def site_step(st, sxs):
             aR, dR, wR, e, f, g = st
@@ -493,6 +508,11 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
             if use_kernel:
                 a2, d2, w2, u2, cnt = partition_ad_step(aR, dR, wR, s, kk,
                                                         interpret=interp)
+                c = cnt[0]
+                uplane = u2
+            elif use_blocked:
+                a2, d2, w2, u2, cnt = partition_ad_step_blocked(
+                    aR, dR, wR, s, kk, rb=rb, interpret=interp)
                 c = cnt[0]
                 uplane = u2
             else:
@@ -708,7 +728,14 @@ class DeviceMatcher:
         from .build import pad_to
         M, N = Xp.shape
         self.M, self.N = M, N
-        self.Mp = Mp = pad_to(M, 4096)
+        Mp = pad_to(M, 4096)
+        if Mp > 128 * _kernel_rmax():
+            # blocked kernel: R = Mp/128 must be divisible by its block
+            # row count cap; pad rows are row-0 duplicates (harmless)
+            import os
+            cap = int(os.environ.get("PBWT_TPU_BLOCK_RB", "1024"))
+            Mp = pad_to(M, max(4096, 128 * cap))
+        self.Mp = Mp
         self.Ng = Ng = (N + GROUP - 1) // GROUP
         self.gseg = min(max(_SNAP_BYTES // (4 * Mp * GROUP), 1), Ng)
         self.nseg = -(-Ng // self.gseg)

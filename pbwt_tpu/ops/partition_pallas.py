@@ -404,6 +404,244 @@ def partition_ad_step(a, d, w, s, kk, interpret=False):
     )(a, d, w, sk)
 
 
+def _running_or_incl(F):
+    """Inclusive running OR of an int 0/1 plane over the row-major linear
+    order (two-level: lane log-shift rounds + row-level carry)."""
+    R = F.shape[0]
+    li = _lane_iota(F.shape)
+    ri = _row_iota(F.shape)
+    for t in range(7):
+        sh = 1 << t
+        F = F | jnp.where(li >= sh, pltpu.roll(F, sh, axis=1), 0)
+    Fin = jnp.broadcast_to(F[:, L - 1:L], F.shape)
+    t = 0
+    while (1 << t) < R:
+        sh = 1 << t
+        Fin = Fin | jnp.where(ri >= sh, pltpu.roll(Fin, sh, axis=0), 0)
+        t += 1
+    Fex = pltpu.roll(Fin, 1, axis=0)
+    Fex = jnp.where(ri >= 1, Fex, 0)
+    return F | Fex
+
+
+def _make_ad_kernel_blocked(R, Rb):
+    """Divergence-carrying per-site partition for R beyond the monolithic
+    kernel's VMEM reach (R > ~4096 on v5e).
+
+    Same math as _make_ad_kernel, restructured so every intermediate is
+    (Rb, 128) instead of (R, 128): rows are processed in R/Rb blocks with
+    scalar cross-block carries (zero counts, segmented-max state, boundary
+    key), and each block's zero/one classes are placed into (R+Rb+8, 128)
+    VMEM accumulator planes with dynamic-offset read-OR-write windows.
+    Mosaic executes the unrolled block loop sequentially, so the
+    overlapping boundary-row writes are race-free.
+    """
+    B = R // Rb
+    SR = R + Rb + 8
+
+    def kernel(a_ref, d_ref, w_ref, s_ref, a_out, d_out, w_out, u_out,
+               cnt_out, acc_a, acc_d, acc_w):
+        lt_lanes = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0) <=
+                    jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+                    ).astype(jnp.float32)
+        s = s_ref[0]
+        kk = s_ref[1]
+        li = _lane_iota((Rb, L))
+        ri = _row_iota((Rb, L))
+
+        zero_blk = jnp.zeros((Rb, L), jnp.int32)
+        for b in range(SR // Rb):
+            acc_a[b * Rb:(b + 1) * Rb, :] = zero_blk
+            acc_d[b * Rb:(b + 1) * Rb, :] = zero_blk
+            acc_w[b * Rb:(b + 1) * Rb, :] = zero_blk
+        rem_rows = SR - (SR // Rb) * Rb
+        if rem_rows:
+            acc_a[SR - rem_rows:SR, :] = zero_blk[:rem_rows]
+            acc_d[SR - rem_rows:SR, :] = zero_blk[:rem_rows]
+            acc_w[SR - rem_rows:SR, :] = zero_blk[:rem_rows]
+
+        def ranks(key):
+            """Per-row inclusive one-rank + row class counts + in-block
+            exclusive row offsets (all row-constant planes)."""
+            kf = key.astype(jnp.float32)
+            onr = jax.lax.dot_general(
+                kf, lt_lanes, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            zr = (li + 1) - onr
+            ob = jnp.broadcast_to(onr[:, L - 1:L], key.shape)
+            cb = L - ob
+            zoffl = _row_cumsum_exclusive(cb)
+            ooffl = _row_cumsum_exclusive(ob)
+            return onr, zr, cb, ob, zoffl, ooffl
+
+        # pass 1: zeros per block (scalar carries for global offsets)
+        zc = []
+        for b in range(B):
+            key = jax.lax.shift_right_logical(
+                w_ref[b * Rb:(b + 1) * Rb, :], s) & 1
+            _, _, cb, _, zoffl, _ = ranks(key)
+            zc.append((zoffl + cb)[Rb - 1, 0])
+        Z = [jnp.int32(0)]
+        for b in range(B):
+            Z.append(Z[-1] + zc[b])
+        C = Z[B]
+        cnt_out[0] = C
+
+        # pass 2: per-block divergence payload, ranks, u, and placement
+        carry_p = jnp.int32(0)
+        carry_q = jnp.int32(0)
+        carry_k = jnp.int32(0)
+        for b in range(B):
+            a_b = a_ref[b * Rb:(b + 1) * Rb, :]
+            d_b = d_ref[b * Rb:(b + 1) * Rb, :]
+            w_b = w_ref[b * Rb:(b + 1) * Rb, :]
+            key = jax.lax.shift_right_logical(w_b, s) & 1
+            first = (ri == 0) & (li == 0)
+            if b == 0:
+                seed = jnp.where(first, jnp.maximum(d_b, kk + 1), d_b)
+            else:
+                seed = d_b
+
+            def boundary_flags(base, carry_is):
+                f = pltpu.roll(base, 1, axis=1)
+                f = jnp.where(li == 0, pltpu.roll(f, 1, axis=0), f)
+                if b == 0:
+                    return jnp.where(first, 0, f)
+                return jnp.where(first, carry_is, f)
+
+            prev0 = boundary_flags(1 - key, (carry_k == 0).astype(jnp.int32))
+            prev1 = boundary_flags(key, (carry_k == 1).astype(jnp.int32))
+            p = _seg_running_max(seed, prev0)
+            q = _seg_running_max(seed, prev1)
+            if b > 0:
+                seen0 = _running_or_incl(prev0)
+                seen1 = _running_or_incl(prev1)
+                p = jnp.where(seen0 != 0, p, jnp.maximum(p, carry_p))
+                q = jnp.where(seen1 != 0, q, jnp.maximum(q, carry_q))
+            carry_p = p[Rb - 1, L - 1]
+            carry_q = q[Rb - 1, L - 1]
+            carry_k = key[Rb - 1, L - 1]
+            pq = jnp.where(key == 0, p, q)
+
+            onr, zr, cb, ob, zoffl, ooffl = ranks(key)
+            u_out[b * Rb:(b + 1) * Rb, :] = Z[b] + zoffl + zr - (1 - key)
+
+            def place_blk(valid, rank_incl, nvals, goff, offl, total):
+                """Place this block's class into the accumulators.
+
+                goff: scalar global start of the class segment for this
+                block; offl: row-constant in-block exclusive offsets;
+                total: scalar class count in this block.  Returns the
+                (Rb, 128) placed planes, the window base row, the folded
+                last-row spill planes, and its row."""
+                WB = goff // L
+                rel = (goff % L) + offl            # row-constant, < 256*Rb
+                startl = rel % L
+                ldr = rel // L                      # local dest row per row
+                rem = jnp.where(valid, li + 1 - rank_incl, -1)
+                ca, cd, cw = _compact_left([a_b, pq, w_b], rem)
+                ca, cd, cw = _rotate_rows_right([ca, cd, cw], startl)
+                in_seg = ((li - startl) % L) < nvals
+                m1 = in_seg & (li >= startl)
+                m2 = in_seg & (li < startl)
+                # m2 (lane-wrapped) parts belong one row below their m1
+                # row: fold them down one row (the ones-case trick of
+                # _make_ad_kernel.place); source row Rb-1's fold-down
+                # leaves the plane and is written as its own 1-row window
+                planes = []
+                spills = []
+                for x in (ca, cd, cw):
+                    x1 = jnp.where(m1, x, 0)
+                    x2 = jnp.where(m2, x, 0)
+                    planes.append(
+                        x1 | jnp.where(ri >= 1, pltpu.roll(x2, 1, axis=0), 0))
+                    spills.append(x2[Rb - 1:Rb, :])
+                delta = ri - ldr
+                placed = _or_shift_up(planes, delta)
+                # spill destination: continue the same dest-row formula at
+                # padded row Rb
+                dlast = ((goff % L) + total) // L
+                return placed, WB, spills, WB + dlast
+
+            def write_window(placed, WB, spills, srow):
+                cur_a = acc_a[pl.ds(WB, Rb), :]
+                cur_d = acc_d[pl.ds(WB, Rb), :]
+                cur_w = acc_w[pl.ds(WB, Rb), :]
+                acc_a[pl.ds(WB, Rb), :] = cur_a | placed[0]
+                acc_d[pl.ds(WB, Rb), :] = cur_d | placed[1]
+                acc_w[pl.ds(WB, Rb), :] = cur_w | placed[2]
+                sa = acc_a[pl.ds(srow, 1), :]
+                sd = acc_d[pl.ds(srow, 1), :]
+                sw = acc_w[pl.ds(srow, 1), :]
+                acc_a[pl.ds(srow, 1), :] = sa | spills[0]
+                acc_d[pl.ds(srow, 1), :] = sd | spills[1]
+                acc_w[pl.ds(srow, 1), :] = sw | spills[2]
+
+            O_b = jnp.int32(b * Rb * L) - Z[b]
+            write_window(*place_blk(key == 0, zr, cb, Z[b], zoffl, zc[b]))
+            write_window(*place_blk(key == 1, onr, ob, C + O_b, ooffl,
+                                    jnp.int32(Rb * L) - zc[b]))
+
+        ri_f = _row_iota((Rb, L))
+        li_f = _lane_iota((Rb, L))
+        for b in range(B):
+            a_out[b * Rb:(b + 1) * Rb, :] = acc_a[b * Rb:(b + 1) * Rb, :]
+            dv = acc_d[b * Rb:(b + 1) * Rb, :]
+            if b == 0:
+                dv = jnp.where((ri_f == 0) & (li_f == 0), kk + 2, dv)
+            d_out[b * Rb:(b + 1) * Rb, :] = dv
+            w_out[b * Rb:(b + 1) * Rb, :] = acc_w[b * Rb:(b + 1) * Rb, :]
+
+    return kernel
+
+
+def blocked_rb(R: int) -> int:
+    """Block row count for partition_ad_step_blocked: the largest
+    power-of-two divisor of R capped at 1024 (env PBWT_TPU_BLOCK_RB).
+    Returns 0 when R's divisor structure makes blocking unprofitable
+    (tiny blocks = huge unrolled loops); lowering the env cap also lowers
+    that floor so tests can force the blocked path on small planes."""
+    import os
+
+    cap = int(os.environ.get("PBWT_TPU_BLOCK_RB", "1024"))
+    rb = min(R & -R, cap)            # largest power-of-2 divisor, capped
+    return rb if rb >= min(256, cap) else 0
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "interpret"))
+def partition_ad_step_blocked(a, d, w, s, kk, rb=None, interpret=False):
+    """partition_ad_step for large R: block-processed per-site kernel.
+
+    Identical outputs to partition_ad_step; VMEM intermediates are
+    (rb, 128)-sized so R is bounded by plane storage (7 R-sized planes +
+    block temporaries) rather than by full-plane log-shift liveness.
+    """
+    R = a.shape[0]
+    if rb is None:
+        rb = blocked_rb(R)
+    assert R % rb == 0, (R, rb)
+    sk = jnp.stack([jnp.asarray(s, jnp.int32), jnp.asarray(kk, jnp.int32)])
+    return pl.pallas_call(
+        _make_ad_kernel_blocked(R, rb),
+        out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((R, L), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((R + rb + 8, L), jnp.int32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(a, d, w, sk)
+
+
 def _make_group_kernel_noa(R):
     """Group kernel without the prefix-array plane: the caller advances
     `a` with one stable XLA sort per group keyed by the unsigned packed

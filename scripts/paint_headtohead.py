@@ -26,7 +26,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HTSLIB_STUB = """
+#include "utils.h"
 #include "pbwt.h"
+const char *pbwtHtslibVersionString(void) { return "stub"; }
 PBWT *pbwtReadVcfGT (char *filename) { die("no htslib") ; return 0 ; }
 PBWT *pbwtReadVcfPL (char *filename) { die("no htslib") ; return 0 ; }
 void pbwtWriteVcf (PBWT *p, char *f, char *r, char *m) { die("no htslib") ; }

@@ -42,6 +42,58 @@ def test_segment_matcher_equals_portable():
     assert np.array_equal(rows_seg, rows_port)
 
 
+def test_segment_matcher_blocked_kernel(monkeypatch):
+    """The block-processed divergence kernel (the M > 512k panel path)
+    produces the exact same rows as the monolithic kernel path."""
+    from pbwt_tpu.ops import match_jax
+    rng = np.random.RandomState(7)
+    M, N, Q = 300, 64, 8
+    Xp = mosaic(11, M, N)
+    Xq = np.empty((Q, N), np.uint8)
+    for q in range(Q):
+        pos = 0
+        while pos < N:
+            seg = rng.randint(10, 40)
+            Xq[q, pos:pos + seg] = Xp[rng.randint(0, M), pos:pos + seg]
+            pos += seg
+    rows_mono = np.asarray(match_jax.DeviceMatcher(Xp).match(Xq))
+    # force the blocked path: rmax below R=32, block floor lowered to 8
+    monkeypatch.setenv("PBWT_TPU_KERNEL_RMAX", "2")
+    monkeypatch.setenv("PBWT_TPU_BLOCK_RB", "8")
+    match_jax.match_scan_segment.clear_cache()
+    try:
+        rows_blk = np.asarray(match_jax.DeviceMatcher(Xp).match(Xq))
+    finally:
+        match_jax.match_scan_segment.clear_cache()
+    assert np.array_equal(rows_mono, rows_blk)
+
+
+def test_blocked_partition_step_parity():
+    """partition_ad_step_blocked == partition_ad_step on random planes,
+    including skewed all-zero/all-one key columns."""
+    import jax.numpy as jnp
+    from pbwt_tpu.ops.partition_pallas import (partition_ad_step,
+                                               partition_ad_step_blocked)
+    rng = np.random.RandomState(0)
+    R, Rb = 96, 32
+    Mp = R * 128
+    a = rng.permutation(Mp).astype(np.int32).reshape(R, 128)
+    d = rng.randint(0, 50, size=(R, 128)).astype(np.int32)
+    planes = [rng.randint(-2 ** 31, 2 ** 31 - 1, size=(R, 128),
+                          dtype=np.int64).astype(np.int32),
+              np.zeros((R, 128), np.int32),
+              np.full((R, 128), -1, np.int32)]
+    for w in planes:
+        for s, kk in [(0, 7), (31, 0)]:
+            ref = partition_ad_step(jnp.asarray(a), jnp.asarray(d),
+                                    jnp.asarray(w), s, kk, interpret=True)
+            got = partition_ad_step_blocked(jnp.asarray(a), jnp.asarray(d),
+                                            jnp.asarray(w), s, kk, rb=Rb,
+                                            interpret=True)
+            for r, g in zip(ref, got):
+                assert np.array_equal(np.asarray(r), np.asarray(g))
+
+
 @pytest.mark.parametrize("seed,M", [(0, 24), (1, 30)])  # M=30: not lane-aligned
 def test_device_match_equals_indexed(seed, M):
     from pbwt_tpu.algos import match as matchmod
