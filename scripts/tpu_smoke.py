@@ -70,6 +70,27 @@ def check_ad_kernel():
     print("PASS divergence kernel chain (M=4096, 8 sites)")
 
 
+def check_ad_kernel_blocked():
+    """Block-processed divergence kernel (the M > 512k panel path) ==
+    monolithic kernel, compiled Mosaic vs compiled Mosaic."""
+    import jax.numpy as jnp
+    from pbwt_tpu.ops import partition_pallas as pp
+    M = 8192 * 128 // 16          # R = 512, small enough to run quickly
+    R = M // 128
+    rng = np.random.RandomState(9)
+    w = rng.randint(0, 2**32, size=(R, 128), dtype=np.uint32).astype(np.int32)
+    a = np.arange(M, dtype=np.int32).reshape(R, 128)
+    d = rng.randint(0, 30, size=(R, 128)).astype(np.int32)
+    aj, dj, wj = jnp.asarray(a), jnp.asarray(d), jnp.asarray(w)
+    for s, kk in [(0, 3), (17, 40)]:
+        ref = pp.partition_ad_step(aj, dj, wj, s, kk)
+        got = pp.partition_ad_step_blocked(aj, dj, wj, s, kk, rb=128)
+        for name, r, g in zip("a d w u cnt".split(), ref, got):
+            assert np.array_equal(np.asarray(r), np.asarray(g)), \
+                f"blocked {name} @s={s}"
+    print(f"PASS blocked divergence kernel == monolithic (R={R}, rb=128)")
+
+
 def check_matcher():
     import jax
     from pbwt_tpu.ops import match_jax as mj
@@ -234,6 +255,7 @@ if __name__ == "__main__":
         print("WARNING: no TPU backend; kernels run via interpret only")
     check_build()
     check_ad_kernel()
+    check_ad_kernel_blocked()
     check_matcher()
     check_match_dynamic_route()
     check_impute_paint_routes()
