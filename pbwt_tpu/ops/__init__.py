@@ -24,12 +24,47 @@ def device_requested(exact: bool = True) -> bool:
         return v not in ("", "0")
     if not exact:
         return False
-    try:
-        import jax
+    return _tpu_backend_alive()
 
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+
+_backend_probe: "bool | None" = None
+
+
+def _tpu_backend_alive() -> bool:
+    """True iff the default jax backend is a responsive TPU.
+
+    Backend creation on a tunneled TPU can hang *inside client creation*
+    (unkillable from the calling thread) when the tunnel is down, so the
+    first probe runs on a daemon thread with a deadline
+    (PBWT_TPU_PROBE_TIMEOUT seconds, default 45): on timeout the process
+    falls back to the host engine for its lifetime instead of hanging.
+    """
+    global _backend_probe
+    if _backend_probe is None:
+        import threading
+
+        got: list = []
+
+        def probe():
+            try:
+                import jax
+
+                got.append(jax.default_backend() == "tpu")
+            except Exception:
+                got.append(False)
+
+        t = threading.Thread(target=probe, daemon=True,
+                             name="pbwt-tpu-backend-probe")
+        t.start()
+        t.join(float(_os.environ.get("PBWT_TPU_PROBE_TIMEOUT", "45")))
+        if not got:
+            import sys
+
+            print("pbwt: TPU backend unresponsive (tunnel down?); "
+                  "using the host engine for this process",
+                  file=sys.stderr, flush=True)
+        _backend_probe = bool(got and got[0])
+    return _backend_probe
 
 
 def enable_compilation_cache() -> None:

@@ -19,19 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_match_data(M, N, Qmax):
-    rng = np.random.RandomState(0)
-    freqs = rng.beta(0.2, 0.8, size=N)
-    Xp = (rng.random_sample((M, N)) < freqs[None, :]).astype(np.uint8)
-    Xq = np.empty((Qmax, N), np.uint8)
-    for q in range(Qmax):
-        pos = 0
-        while pos < N:
-            seg = rng.randint(50, 400)
-            src = rng.randint(0, M)
-            Xq[q, pos:pos + seg] = Xp[src, pos:pos + seg]
-            pos += seg
-    return Xp, Xq
+from bench import bench_match_data  # single source of truth for the workload
 
 
 def main():

@@ -91,3 +91,17 @@ def test_merge(ref_test_dir, tmp):
     pbwt(["-read", f"{tmp}/merged.pbwt", "-haps", f"{tmp}/merge.12.out"], tmp)
     assert read(f"{tmp}/merge.12.out") == read(f"{ref_test_dir}/merge.12.out")
     assert read(f"{tmp}/merge.12.sites") == read(f"{ref_test_dir}/merge.12.sites")
+
+
+def test_profile_trace(ref_test_dir, tmp):
+    """-profile <dir> (SURVEY.md section 5 tracing): the rest of the command
+    pipeline runs under jax.profiler.start_trace and a trace directory with
+    at least one .xplane.pb event file appears."""
+    pbwt(["-readVcfq", f"{ref_test_dir}/merge.1.tab",
+          "-write", f"{tmp}/merge.1.pbwt"], tmp)
+    pbwt(["-profile", f"{tmp}/trace", "-read", f"{tmp}/merge.1.pbwt",
+          "-buildReverse", "-haps", f"{tmp}/rev.out"], tmp)
+    found = []
+    for root, _, files in os.walk(f"{tmp}/trace"):
+        found += [f for f in files if f.endswith(".xplane.pb")]
+    assert found, "no xplane trace events written by -profile"
