@@ -77,7 +77,38 @@ def build_words(M, N, Mp, seed=0):
     return W
 
 
+def _backend_or_none(timeout_s=75.0):
+    """Default-backend name, probed on a daemon thread with a deadline.
+
+    A dead tunnel hangs *inside client creation* (unkillable from the
+    calling thread); probing on a daemon thread lets the child exit
+    promptly so the parent can record the CPU fallback within minutes
+    instead of burning the whole deadline."""
+    import threading
+
+    got = []
+
+    def probe():
+        try:
+            import jax
+
+            got.append(jax.default_backend())
+        except Exception:
+            got.append(None)
+
+    t = threading.Thread(target=probe, daemon=True, name="bench-probe")
+    t.start()
+    t.join(timeout_s)
+    return got[0] if got else None
+
+
 def tpu_main():
+    backend = _backend_or_none()
+    if backend is None:
+        print("bench: backend unresponsive within probe deadline; exiting "
+              "for parent fallback", file=sys.stderr, flush=True)
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +119,7 @@ def tpu_main():
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16   # 65536 haplotypes
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 14   # 16384 sites
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = backend == "tpu"
     Mp = dbuild.pad_to(M, 4096 if on_tpu else 256)
     w_dev = jnp.asarray(build_words(M, N, Mp))
     a0 = jnp.arange(Mp, dtype=jnp.int32)
