@@ -154,6 +154,11 @@ typedef struct {
     int fd;
     uint8_t *buf;
     long blen;
+    /* bucket mode (boff != NULL): two-pass per-recipient placement that
+       never materialises the (n, 4) int64 row set - pass 0 (bsj == NULL)
+       counts into boff[ai + 1], pass 1 places (bi, s, e) at boff[ai]++ */
+    int32_t *bsj, *bss, *bse;
+    int64_t *boff;
 } rowsink;
 
 #define SINK_BUF (1L << 20)
@@ -174,6 +179,14 @@ static inline void sink_row(rowsink *rs, long ai, long bi, long s, long e)
 {
     rs->n++;
     if (s != e) { rs->nz++; rs->totlen += e - s; }
+    if (rs->boff) {
+        if (!rs->bsj) { rs->boff[ai + 1]++; return; }
+        int64_t p = rs->boff[ai]++;
+        rs->bsj[p] = (int32_t)bi;
+        rs->bss[p] = (int32_t)s;
+        rs->bse[p] = (int32_t)e;
+        return;
+    }
     if (rs->fd >= 0) {
         if (s == e) return;
         if (rs->blen + 144 > SINK_BUF) sink_flush(rs);
@@ -953,6 +966,41 @@ EXPORT long max_within_packed(const uint8_t *yz, long nz, long M, long N,
     rowsink rs = { out, cap, 0, 0, 0, -1, NULL, 0 };
     long n = max_within_impl(&cs, M, N, a0, &rs);
     cs_free(&cs);
+    return n;
+}
+
+/* Two-pass bucketed collection for painting (pbwtPaint.c feeds per-
+   recipient match lists): pass 0 counts matches per recipient into
+   off[1..M] (caller zeroes off) and leaves off holding the exclusive
+   prefix starts (off[0] = 0, off[M] = n); pass 1 - after the caller
+   allocates sj/ss/se of length n - places (bi, s, e) in the scan's
+   report order per recipient and repairs off to the final seg_off.
+   Peak memory is 3n int32 instead of the 4n int64 row set + copies. */
+EXPORT long max_within_bucket_count(const uint8_t *yz, long nz, long M,
+                                    long N, const int32_t *a0, int64_t *off)
+{
+    colsrc cs;
+    if (!cs_packed(&cs, yz, nz, M)) return -1;
+    rowsink rs = { NULL, 0, 0, 0, 0, -1, NULL, 0, NULL, NULL, NULL, off };
+    long n = max_within_impl(&cs, M, N, a0, &rs);
+    cs_free(&cs);
+    if (n < 0) return -1;
+    for (long i = 0; i < M; ++i) off[i + 1] += off[i];
+    return n;
+}
+
+EXPORT long max_within_bucket_fill(const uint8_t *yz, long nz, long M,
+                                   long N, const int32_t *a0, int32_t *sj,
+                                   int32_t *ss, int32_t *se, int64_t *off)
+{
+    colsrc cs;
+    if (!cs_packed(&cs, yz, nz, M)) return -1;
+    rowsink rs = { NULL, 0, 0, 0, 0, -1, NULL, 0, sj, ss, se, off };
+    long n = max_within_impl(&cs, M, N, a0, &rs);
+    cs_free(&cs);
+    if (n < 0) return -1;
+    memmove(off + 1, off, M * sizeof(int64_t));
+    off[0] = 0;
     return n;
 }
 

@@ -29,6 +29,10 @@ def _collect_match_arrays(p: PBWT):
     from ..core import native
     a0 = (p.aFstart if p.aFstart is not None
           else np.arange(p.M, dtype=np.int32))
+    if p.yz:
+        bucketed = native.max_within_bucketed(p.yz, p.M, p.N, a0)
+        if bucketed is not None:
+            return bucketed
     rows = (native.max_within_packed(p.yz, p.M, p.N, a0) if p.yz
             else native.max_within(p.decoded(True), a0))
     if rows is None:

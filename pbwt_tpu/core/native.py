@@ -89,6 +89,11 @@ def get_lib():
     lib.format_match_rows.argtypes = [i64p, L, u8p, L]
     lib.max_within_print.restype = L
     lib.max_within_print.argtypes = [u8p, L, L, L, i32p, ctypes.c_int]
+    lib.max_within_bucket_count.restype = L
+    lib.max_within_bucket_count.argtypes = [u8p, L, L, L, i32p, i64p]
+    lib.max_within_bucket_fill.restype = L
+    lib.max_within_bucket_fill.argtypes = [u8p, L, L, L, i32p, i32p, i32p,
+                                           i32p, i64p]
     lib.long_within_print.restype = L
     lib.long_within_print.argtypes = [u8p, L, L, L, L, i32p, ctypes.c_int]
     lib.sweep_match_print.restype = L
@@ -264,6 +269,31 @@ def long_within(Ysort: np.ndarray, T: int, a0: np.ndarray):
         if n <= cap:
             return out[:n]
         cap = n
+
+
+def max_within_bucketed(yz: bytes, M: int, N: int, a0: np.ndarray):
+    """Two-pass maxWithin straight into per-recipient buckets: returns
+    (seg_j, seg_s, seg_e, seg_off) in the reference's per-recipient report
+    order without ever holding the (n, 4) int64 row set - peak memory is
+    3n int32 (the painting consumers' own layout) at the cost of a second
+    streaming pass over the pack3 bytes.  None when the library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "max_within_bucket_count"):
+        return None
+    z = np.frombuffer(yz, np.uint8)
+    a0 = np.ascontiguousarray(a0, np.int32)
+    off = np.zeros(M + 1, np.int64)
+    n = lib.max_within_bucket_count(z, len(z), M, N, a0, off)
+    if n < 0:
+        return None
+    sj = pooled_view((max(n, 1),), np.int32, "paint:sj")
+    ss = pooled_view((max(n, 1),), np.int32, "paint:ss")
+    se = pooled_view((max(n, 1),), np.int32, "paint:se")
+    n2 = lib.max_within_bucket_fill(z, len(z), M, N, a0, sj, ss, se, off)
+    if n2 != n:
+        return None
+    return sj[:n], ss[:n], se[:n], off
 
 
 def max_within_packed(yz: bytes, M: int, N: int, a0: np.ndarray):

@@ -92,7 +92,11 @@ def run_ref(ref_bin, args, cwd, with_err=False):
 
 
 def run_ours(args, cwd, with_err=False):
+    # pin the host engine: the crosschecks assert byte-parity of the host/C
+    # paths, and JAX_PLATFORMS=cpu alone does not stop the axon TPU plugin
+    # from dialling its (possibly dead) tunnel inside the device probe
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    env.setdefault("PBWT_TPU_DEVICE", "0")
     res = subprocess.run([sys.executable, "-m", "pbwt_tpu"] + args,
                          capture_output=True, cwd=cwd, env=env)
     assert res.returncode == 0, res.stderr[-300:]
