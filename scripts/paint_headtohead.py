@@ -114,8 +114,11 @@ def main():
             sz = sum(os.path.getsize(f) for f in
                      glob.glob(os.path.join(workdir, "our_out*"))) / 1e6
             results["pbwt-tpu"] = dt
+            kid = resource.getrusage(resource.RUSAGE_CHILDREN)
             print(f"pbwt-tpu -paintSparse: {dt:.1f}s ({dt / 60:.1f} min), "
-                  f"{sz:.0f} MB output", flush=True)
+                  f"{sz:.0f} MB output, child peak RSS "
+                  f"{kid.ru_maxrss / 1e6:.1f} GB (max over ref+ours when "
+                  f"both ran)", flush=True)
 
     if len(results) == 2:
         r, o = results["reference"], results["pbwt-tpu"]
