@@ -149,3 +149,28 @@ def test_long_within1_pairs_match_variant2():
         p, 15, lambda ai, bi, s, e: v2.add((min(ai, bi), max(ai, bi), e))
         if s != e else None)
     assert v1 == v2 and v1
+
+
+def test_max_within_bucketed_equals_row_buffer():
+    """The two-pass bucketed collection (paint's memory path,
+    native.max_within_bucket_count/_fill) places exactly the rows the
+    (n, 4) row-buffer path collects, in the same per-recipient order."""
+    from pbwt_tpu.core import native
+    X = mosaic(9, 402, 177)
+    p = _mk(X)
+    a0 = (p.aFstart if p.aFstart is not None
+          else np.arange(p.M, dtype=np.int32))
+    got = native.max_within_bucketed(p.yz, p.M, p.N, a0)
+    if got is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    sj, ss, se, off = got
+    rows = native.max_within_packed(p.yz, p.M, p.N, a0)
+    rows = rows[np.argsort(rows[:, 0], kind="stable")]
+    ref_off = np.zeros(p.M + 1, np.int64)
+    np.cumsum(np.bincount(rows[:, 0].astype(np.int64), minlength=p.M),
+              out=ref_off[1:])
+    assert np.array_equal(off, ref_off)
+    assert np.array_equal(sj, rows[:, 1])
+    assert np.array_equal(ss, rows[:, 2])
+    assert np.array_equal(se, rows[:, 3])
