@@ -239,7 +239,7 @@ def _main(argv: list[str] | None = None) -> int:
             argv = argv[2:]
         elif cmd == "-readMacs":
             need(1)
-            fp = _open(argv[1], "r")
+            fp = _open(argv[1], "rb")
             p = textformats.read_macs(fp)
             _close(fp, argv[1])
             argv = argv[2:]

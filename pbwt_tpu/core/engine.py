@@ -200,44 +200,107 @@ class ReadCursor:
         return x
 
 
+_WC_CHUNK_BYTES = 1 << 23       # natural-column buffer before a native flush
+
+
 class WriteCursor:
     """Streaming write cursor: pack columns and advance the prefix array.
 
     Mirrors pbwtCursorWriteForwards[AD] (pbwtCore.c:573-585).
+
+    Natural-order writes (``write_natural``, the hot loop of every text /
+    VCF importer — pbwtIO.c:477-482) are buffered and flushed through the
+    native chunk builder (native/pbwt_native.c build_pbwt) ~8 MB of columns
+    at a time; reading ``a``/``n``/``packed()`` flushes first, so the
+    buffering is invisible to callers.  ``y`` is only maintained by the
+    ``write_forwards*`` paths.
     """
 
     def __init__(self, M: int, a_init: np.ndarray | None = None):
         self.M = M
-        self.a = (np.arange(M, dtype=np.int32) if a_init is None
-                  else np.asarray(a_init, dtype=np.int32).copy())
+        self._a = (np.arange(M, dtype=np.int32) if a_init is None
+                   else np.ascontiguousarray(a_init, dtype=np.int32).copy())
         self.d = np.zeros(M + 1, dtype=np.int32)
         self.d[0] = 1
         self.d[M] = 1
         self.chunks: list[bytes] = []
         self.y = np.zeros(M, dtype=np.uint8)
-        self.n = 0                      # bytes written so far
+        self._n = 0                     # bytes written so far
+        self._nat_buf: np.ndarray | None = None
+        self._nat_fill = 0
+        self._nat_cols = max(1, _WC_CHUNK_BYTES // max(M, 1))
+        self._use_native: bool | None = None
+
+    # --- buffered-write bookkeeping ------------------------------------
+
+    @property
+    def a(self) -> np.ndarray:
+        self.flush()
+        return self._a
+
+    @a.setter
+    def a(self, value):
+        self.flush()
+        self._a = np.ascontiguousarray(value, dtype=np.int32)
+
+    @property
+    def n(self) -> int:
+        self.flush()
+        return self._n
+
+    def flush(self) -> None:
+        """Run any buffered natural-order columns through the native
+        chunk builder, advancing the prefix array in place."""
+        if not self._nat_fill:
+            return
+        cols = self._nat_buf[:self._nat_fill]
+        self._nat_fill = 0
+        from . import native
+        chunk = native.build_pbwt_chunk(cols, self._a)
+        if chunk is None:               # toolchain lost mid-stream: slow path
+            for x in cols:
+                self.write_forwards(x[self._a])
+            return
+        self.chunks.append(chunk)
+        self._n += len(chunk)
+
+    # --- writes ----------------------------------------------------------
 
     def write_forwards(self, y: np.ndarray | None = None):
+        self.flush()
         if y is not None:
             self.y = np.asarray(y, dtype=np.uint8)
         chunk = p3.pack3(self.y)
         self.chunks.append(chunk)
-        self.n += len(chunk)
-        self.a = forwards_a(self.a, self.y)
+        self._n += len(chunk)
+        self._a = forwards_a(self._a, self.y)
 
     def write_forwards_ad(self, k: int, y: np.ndarray | None = None):
+        self.flush()
         if y is not None:
             self.y = np.asarray(y, dtype=np.uint8)
         chunk = p3.pack3(self.y)
         self.chunks.append(chunk)
-        self.n += len(chunk)
-        self.a, self.d = forwards_ad(self.a, self.d, self.y, k)
+        self._n += len(chunk)
+        self._a, self.d = forwards_ad(self._a, self.d, self.y, k)
 
     def write_natural(self, x: np.ndarray):
         """Write a column given in natural order: y[j] = x[a[j]]."""
-        self.write_forwards(np.asarray(x, dtype=np.uint8)[self.a])
+        if self._use_native is None:
+            from . import native
+            self._use_native = native.get_lib() is not None
+        if not self._use_native:
+            self.write_forwards(np.asarray(x, dtype=np.uint8)[self._a])
+            return
+        if self._nat_buf is None:
+            self._nat_buf = np.empty((self._nat_cols, self.M), np.uint8)
+        self._nat_buf[self._nat_fill] = x       # copy: callers may reuse x
+        self._nat_fill += 1
+        if self._nat_fill == self._nat_cols:
+            self.flush()
 
     def packed(self) -> bytes:
+        self.flush()
         return b"".join(self.chunks)
 
 

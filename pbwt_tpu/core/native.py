@@ -207,6 +207,31 @@ def build_pbwt(cols: np.ndarray, a0: np.ndarray):
         cap = n
 
 
+def build_pbwt_chunk(cols: np.ndarray, a: np.ndarray):
+    """Advance ``a`` IN PLACE through ``cols`` ((ncols, M) natural-order
+    values), returning the pack3 bytes for those columns, or None when the
+    native library is unavailable.
+
+    This is the streaming-cursor fast path (engine.WriteCursor buffers
+    natural-order columns and flushes them here): one C call per ~8 MB of
+    buffered columns replaces the per-site python permute + pack3 +
+    partition that mirrors pbwtCursorWriteForwards (pbwtCore.c:573-585).
+    ``a`` must be int32 and C-contiguous."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ncols, M = cols.shape
+    cols = np.ascontiguousarray(cols, np.uint8)
+    # pack3 never emits more than one byte per encoded symbol, so
+    # ncols * (M + 8) bounds the output (run buffer sizing in the C side)
+    cap = ncols * (M + 8) + 16
+    yz = pooled(cap, "build_chunk")
+    n = lib.build_pbwt(cols, M, ncols, a, yz, cap)
+    if n > cap:
+        raise AssertionError("pack3 chunk overflowed its worst-case bound")
+    return yz[:n].tobytes()
+
+
 def decode_cols(yz: bytes, ncols: int, M: int):
     lib = get_lib()
     if lib is None:

@@ -87,23 +87,31 @@ def read_vcfq(fp) -> PBWT:
 # --------------------------------------------------------------------------
 
 def read_macs(fp) -> PBWT:
-    header = fp.readline().split()
-    if not header or header[0] != "COMMAND:":
+    """Accepts a text or binary stream; binary avoids decoding the (large)
+    haplotype strings and feeds np.frombuffer zero-copy."""
+    first = fp.readline()
+    is_bytes = isinstance(first, bytes)
+    COMMAND, SEED, SITE = (
+        (b"COMMAND:", b"SEED:", b"SITE:") if is_bytes
+        else ("COMMAND:", "SEED:", "SITE:"))
+    header = first.split()
+    if not header or header[0] != COMMAND:
         raise ValueError("MaCS COMMAND line not found")
     M = int(header[2])
     L = float(header[3])
-    if fp.readline().split()[0] != "SEED:":
+    if fp.readline().split()[0] != SEED:
         raise ValueError("SEED line not found")
     p = PBWT(M, 0)
     p.sites = []
     u = engine.WriteCursor(M)
+    zero = ord("0")
     for line in fp:
         parts = line.split()
-        if not parts or parts[0] != "SITE:":
+        if not parts or parts[0] != SITE:
             break
         pos = int(L * float(parts[2]))
-        haps = parts[4]
-        x = np.frombuffer(haps.encode(), dtype=np.uint8) - ord("0")
+        haps = parts[4] if is_bytes else parts[4].encode()
+        x = np.frombuffer(haps, dtype=np.uint8) - zero
         # NB the reference leaves varD unset for MaCS sites (pbwtIO.c:438-456)
         p.sites.append(Site(x=pos, varD=0))
         u.write_natural(x)
