@@ -134,3 +134,60 @@ def test_sub_range_and_sub_sample():
     r = p2.sub_sample_interval(2, 6)
     assert r.M == 6
     assert (r.haplotypes() == X[2:8]).all()
+
+
+def test_write_natural_buffered_matches_unbuffered():
+    """The buffered native chunk path (WriteCursor.write_natural ->
+    native.build_pbwt_chunk) is byte-identical to per-column packing, and
+    a/n/packed() reads mid-stream see flushed state."""
+    X = rand_haps(11, M=37, N=300, maf=0.4)
+    M, N = X.shape
+
+    u_ref = engine.WriteCursor(M)
+    u_ref._use_native = False           # force the per-column python path
+    u_buf = engine.WriteCursor(M)
+    u_buf._nat_cols = 64                # several flush boundaries over N=300
+    for k in range(N):
+        u_ref.write_natural(X[:, k])
+        u_buf.write_natural(X[:, k])
+        if k % 97 == 0:                 # interleaved reads must flush
+            assert (u_buf.a == u_ref.a).all()
+            assert u_buf.n == u_ref.n
+    assert u_buf.packed() == u_ref.packed()
+    assert (u_buf.a == u_ref.a).all()
+
+
+def test_write_natural_buffered_copies_input():
+    """Buffered columns must be copied: callers may reuse their buffer."""
+    X = rand_haps(12, M=16, N=50)
+    u_ref = engine.WriteCursor(16)
+    u_ref._use_native = False
+    u_buf = engine.WriteCursor(16)
+    xbuf = np.empty(16, np.uint8)       # single reused buffer
+    for k in range(50):
+        xbuf[:] = X[:, k]
+        u_ref.write_natural(X[:, k])
+        u_buf.write_natural(xbuf)
+    assert u_buf.packed() == u_ref.packed()
+
+
+def test_read_macs_bytes_and_text_identical(tmp_path):
+    """read_macs accepts binary or text streams with identical results."""
+    from pbwt_tpu.io import textformats
+    rng = np.random.RandomState(3)
+    M, N = 30, 20
+    X = (rng.random_sample((M, N)) < 0.4).astype(np.uint8)
+    path = tmp_path / "t.macs"
+    with open(path, "w") as f:
+        f.write(f"COMMAND:\tmacs {M} 1000000\nSEED:\t1\n")
+        for k in range(N):
+            f.write(f"SITE:\t{k}\t{k / N:.6f}\t0.5\t"
+                    + "".join("01"[v] for v in X[:, k]) + "\n")
+    with open(path) as f:
+        p_text = textformats.read_macs(f)
+    with open(path, "rb") as f:
+        p_bin = textformats.read_macs(f)
+    assert p_text.yz == p_bin.yz
+    assert (p_text.aFend == p_bin.aFend).all()
+    assert [s.x for s in p_text.sites] == [s.x for s in p_bin.sites]
+    assert (p_bin.haplotypes() == X).all()
