@@ -1374,3 +1374,444 @@ EXPORT long select_repack(const uint8_t *yz, long nz, long M, long N,
     free(a_src); free(a_dst); free(ones); free(x); free(y2); free(enc);
     return total;
 }
+
+/* ------------------------------------------------------------------ */
+/* referenceImpute3 host fast paths (pbwtImpute.c:1126-1261)           */
+/* ------------------------------------------------------------------ */
+
+/* Stream-decode a packed PBWT and emit every column in NATURAL order
+   (site-major X[(col, hap)]), advancing the prefix array in place and
+   counting ones per column.  One pass replaces decode-all + a python
+   a-chase + a transpose (the reference streams the same way through
+   its read cursor, pbwtCore.c:527-541).  Returns bytes consumed, -1
+   on a corrupt stream. */
+EXPORT long natural_cols(const uint8_t *yz, long nz, long ncols, long M,
+                         int32_t *a, uint8_t *X, int64_t *ones_count)
+{
+    if (!p3dec_ready) p3dec_init();
+    uint8_t *y = (uint8_t *)malloc(M);
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    long pos = 0;
+    for (long c = 0; c < ncols; ++c) {
+        long m = 0;
+        while (m < M) {
+            if (pos >= nz) { free(y); free(ones); return -1; }
+            uint8_t b = yz[pos++];
+            long n = p3dec[b & 0x7f];
+            if (m + n > M) { free(y); free(ones); return -1; }
+            memset(y + m, b >> 7, n);
+            m += n;
+        }
+        uint8_t *row = X + c * M;
+        for (long i = 0; i < M; ++i) row[a[i]] = y[i];
+        long c0 = fwd_a(a, y, ones, M);
+        ones_count[c] = M - c0;
+    }
+    free(y); free(ones);
+    return pos;
+}
+
+/* dosage quantisation (dosageEncode, pbwtImpute.c:1631-1641): 6 levels
+   relative to the allele value */
+static inline int dos_sym(double d)
+{
+    double dd = d > 0.5 ? 1.0 - d : d;
+    return dd == 0.0 ? 0 : (int)(10.0 * (dd + 0.0999999));
+}
+
+/* dosage RLE byte emission (dosageStore, pbwtImpute.c:1643-1657) */
+static inline long dos_emit(uint8_t *out, int d, long count)
+{
+    uint8_t *o = out;
+    if (d == 0) {
+        while (count >= (1L << 15)) { *o++ = 0xFF; count -= 31L << 10; }
+        if (count >= (1L << 10)) {
+            *o++ = (uint8_t)((7 << 5) | (count >> 10)); count &= 1023;
+        }
+        if (count >= (1L << 5)) {
+            *o++ = (uint8_t)((6 << 5) | (count >> 5)); count &= 31;
+        }
+        *o++ = (uint8_t)count;
+    } else {
+        while (count >= (1L << 5)) { *o++ = (uint8_t)((d << 5) | 31); count -= 31; }
+        *o++ = (uint8_t)((d << 5) | count);
+    }
+    return o - out;
+}
+
+/* The whole per-site output stage of referenceImpute3
+   (pbwtImpute.c:1235-1239 + pbwtDosageStore): per reference site, gather
+   the imputed alleles/dosages into current sort order, pack3-encode the
+   allele column into yz, RLE-encode the quantised dosages into zdos
+   (recording per-site offsets), and advance the prefix array.
+   x_all/dos_all are site-major (Nref, T).  Returns 0, or -1 when a
+   capacity bound would be exceeded (callers size caps to worst case so
+   this indicates a bug). */
+EXPORT long impute_emit(const uint8_t *x_all, const double *dos_all,
+                        long T, long Nref, int32_t *a,
+                        uint8_t *yz, long yz_cap,
+                        uint8_t *zdos, long zdos_cap,
+                        int64_t *dos_off, int64_t *lens_out)
+{
+    uint8_t *y = (uint8_t *)malloc(T);
+    int32_t *ones = (int32_t *)malloc(T * sizeof(int32_t));
+    uint8_t *runbuf = (uint8_t *)malloc(T + 8);
+    long ny = 0, nd = 0;
+    for (long k = 0; k < Nref; ++k) {
+        const uint8_t *xr = x_all + k * T;
+        const double *dr = dos_all + k * T;
+        for (long i = 0; i < T; ++i) y[i] = xr[a[i]];
+        long nb = p3_encode(y, T, runbuf);
+        if (ny + nb > yz_cap) goto overflow;
+        memcpy(yz + ny, runbuf, nb);
+        ny += nb;
+        dos_off[k] = nd;
+        long i = 0;
+        while (i < T) {
+            int sym = dos_sym(dr[a[i]]);
+            long cnt = 1;
+            while (i + cnt < T && dos_sym(dr[a[i + cnt]]) == sym) ++cnt;
+            if (nd + cnt + 8 > zdos_cap) goto overflow;
+            nd += dos_emit(zdos + nd, sym, cnt);
+            i += cnt;
+        }
+        fwd_a(a, y, ones, T);
+    }
+    lens_out[0] = ny;
+    lens_out[1] = nd;
+    free(y); free(ones); free(runbuf);
+    return 0;
+overflow:
+    free(y); free(ones); free(runbuf);
+    return -1;
+}
+
+/* One streaming pass for the whole referenceImpute3 core
+   (pbwtImpute.c:1184-1251): per reference site, decode the panel column
+   from the pack3 stream, scatter it to natural order, weighted-vote every
+   target over its covering match segments, pack3-encode the imputed
+   column, RLE-encode the quantised dosages, and advance both prefix
+   arrays.  Live memory is O(Mref + T) — the reference's cursor memory
+   model — so none of the (Nref x T) / (Nref x Mref) intermediates of the
+   split vote/emit pipeline are ever materialised (their page-fault cost
+   dominates wall time in this sandbox).
+   segments must be sorted by (target, start); first[] = seg_off[:-1].
+   Returns total no-vote conflicts, or -1 on corrupt stream / overflow. */
+EXPORT long impute_vote_emit(
+    const uint8_t *yzref, long nzref, long Mref, long Nref, int32_t *a_ref,
+    const int32_t *seg_jref, const int32_t *seg_s, const int32_t *seg_e,
+    const int64_t *seg_off, int32_t *first, long T, int32_t *a_tgt,
+    const int64_t *kold,
+    uint8_t *yz, long yz_cap, uint8_t *zdos, long zdos_cap,
+    int64_t *dos_off, double *ref_freq_out,
+    double *psum_out, double *xsum_out, double *pxsum_out,
+    int64_t *nvote_out, int64_t *lens_out)
+{
+    if (!p3dec_ready) p3dec_init();
+    uint8_t *ys = (uint8_t *)malloc(Mref);
+    uint8_t *xnat = (uint8_t *)malloc(Mref);
+    int32_t *ones_r = (int32_t *)malloc(Mref * sizeof(int32_t));
+    uint8_t *xr = (uint8_t *)malloc(T);
+    double *dr = (double *)malloc(T * sizeof(double));
+    uint8_t *ynew = (uint8_t *)malloc(T);
+    int32_t *ones_t = (int32_t *)malloc(T * sizeof(int32_t));
+    uint8_t *runbuf = (uint8_t *)malloc(T + 8);
+    long pos = 0, ny = 0, nd = 0, conflicts = 0;
+    long rc = -1;
+    for (long k = 0; k < Nref; ++k) {
+        long m = 0, onec = 0;
+        while (m < Mref) {
+            if (pos >= nzref) goto done;
+            uint8_t b = yzref[pos++];
+            long n = p3dec[b & 0x7f];
+            if (m + n > Mref) goto done;
+            memset(ys + m, b >> 7, n);
+            if (b >> 7) onec += n;
+            m += n;
+        }
+        ref_freq_out[k] = (double)onec / (double)Mref;
+        for (long i = 0; i < Mref; ++i) xnat[a_ref[i]] = ys[i];
+
+        long ko = kold[k];
+        double rf = ref_freq_out[k];
+        double psum = 0, xsum = 0, pxsum = 0;
+        long n = 0;
+        for (long j = 0; j < T; ++j) {
+            long mi = first[j], end = seg_off[j + 1];
+            while (mi < end && seg_e[mi] <= ko) ++mi;
+            first[j] = (int32_t)mi;
+            double ssum = 0, score = 0;
+            for (; mi < end && seg_s[mi] < ko; ++mi) {
+                double bit = (double)(ko - seg_s[mi])
+                             * (double)(seg_e[mi] - ko);
+                if (bit > 0) {
+                    ssum += bit;
+                    if (xnat[seg_jref[mi]]) score += bit;
+                }
+            }
+            if (ssum == 0) {
+                xr[j] = rf > 0.5;
+                dr[j] = rf;
+                ++conflicts;
+            } else {
+                double pj = score / ssum;
+                xr[j] = pj > 0.5;
+                dr[j] = pj;
+                psum += pj; xsum += xr[j]; pxsum += pj * xr[j];
+                ++n;
+            }
+        }
+        psum_out[k] = psum; xsum_out[k] = xsum; pxsum_out[k] = pxsum;
+        nvote_out[k] = n;
+
+        for (long i = 0; i < T; ++i) ynew[i] = xr[a_tgt[i]];
+        long nb = p3_encode(ynew, T, runbuf);
+        if (ny + nb > yz_cap) goto done;
+        memcpy(yz + ny, runbuf, nb);
+        ny += nb;
+        dos_off[k] = nd;
+        long i = 0;
+        while (i < T) {
+            int sym = dos_sym(dr[a_tgt[i]]);
+            long cnt = 1;
+            while (i + cnt < T && dos_sym(dr[a_tgt[i + cnt]]) == sym) ++cnt;
+            if (nd + cnt + 8 > zdos_cap) goto done;
+            nd += dos_emit(zdos + nd, sym, cnt);
+            i += cnt;
+        }
+        fwd_a(a_ref, ys, ones_r, Mref);
+        fwd_a(a_tgt, ynew, ones_t, T);
+    }
+    lens_out[0] = ny;
+    lens_out[1] = nd;
+    rc = conflicts;
+done:
+    free(ys); free(xnat); free(ones_r); free(xr); free(dr);
+    free(ynew); free(ones_t); free(runbuf);
+    return rc;
+}
+
+/* ------------------------------------------------------------------ */
+/* referencePhase4 lattice core (pbwtImpute.c:905-1005)                 */
+/* ------------------------------------------------------------------ */
+
+/* The whole forward lattice pass as one streaming C loop, matching the
+   batched-numpy implementation in algos/phase.py:reference_phase4 cell
+   for cell (which is itself crosschecked byte-identical against the
+   reference binary).  Per site: decode both pack3 columns, build the
+   rank table and the EXTEND4 stop-max arrays, extend every live cell of
+   every target diploid under both phase orders, keep the best arrival
+   per (pair, target) with first-arrival tie-breaking (j ascending,
+   phase 0 first), allocate traceback nodes for het winners in (pair,
+   target) order, then advance both cursors.  Live memory is O(Mref + T)
+   plus the lattice state; the traceback heap grows by realloc and is
+   fetched via ref_phase4_heap(). */
+
+static int32_t *rp4_parent = NULL;
+static uint8_t *rp4_value = NULL;
+static long rp4_n = 0, rp4_cap = 0;
+
+static long rp4_node(int32_t parent, uint8_t value)
+{
+    if (rp4_n == rp4_cap) {
+        rp4_cap = rp4_cap ? rp4_cap * 2 : (1 << 16);
+        rp4_parent = (int32_t *)realloc(rp4_parent, rp4_cap * sizeof(int32_t));
+        rp4_value = (uint8_t *)realloc(rp4_value, rp4_cap);
+    }
+    rp4_parent[rp4_n] = parent;
+    rp4_value[rp4_n] = value;
+    return rp4_n++;
+}
+
+static int rp4_cmp_i32(const void *a, const void *b)
+{
+    int32_t x = *(const int32_t *)a, y = *(const int32_t *)b;
+    return x < y ? -1 : x > y;
+}
+
+typedef struct {                 /* one lattice cell (PhaseCell analogue) */
+    float s;
+    int32_t j1, dp0, dm0, dp1, dm1, back;
+    uint8_t xa;                  /* winning first-hap allele (het nodes) */
+} RP4Cell;
+
+EXPORT long ref_phase4_core(const uint8_t *yzold, long nzold, long Mold,
+                            const uint8_t *yzref, long nzref, long Mref,
+                            long N, const int32_t *aold0,
+                            const int32_t *aref0, int64_t *tb_out)
+{
+    if (!p3dec_ready) p3dec_init();
+    long n_pairs = Mold / 2, Mc = Mref + 1, rc = -1;
+    long pos_old = 0, pos_ref = 0;
+
+    uint8_t *ys_old = (uint8_t *)malloc(Mold);
+    uint8_t *x_old = (uint8_t *)malloc(Mold);
+    uint8_t *ys = (uint8_t *)malloc(Mref);
+    int32_t *a_old = (int32_t *)malloc(Mold * sizeof(int32_t));
+    int32_t *a_ref = (int32_t *)malloc(Mref * sizeof(int32_t));
+    int32_t *d = (int32_t *)calloc(Mc, sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(Mref * sizeof(int32_t));
+    int32_t *dones = (int32_t *)malloc(Mref * sizeof(int32_t));
+    int32_t *u = (int32_t *)malloc(Mc * sizeof(int32_t));
+    int64_t *bp0 = (int64_t *)malloc(Mc * sizeof(int64_t));
+    int64_t *bm0 = (int64_t *)malloc(Mc * sizeof(int64_t));
+    int64_t *bp1 = (int64_t *)malloc(Mc * sizeof(int64_t));
+    int64_t *bm1 = (int64_t *)malloc(Mc * sizeof(int64_t));
+    RP4Cell *src = (RP4Cell *)calloc(n_pairs * Mc, sizeof(RP4Cell));
+    RP4Cell *dst = (RP4Cell *)calloc(n_pairs * Mc, sizeof(RP4Cell));
+    int32_t *stamp = (int32_t *)malloc(n_pairs * Mc * sizeof(int32_t));
+    int32_t *live = (int32_t *)malloc(n_pairs * Mc * sizeof(int32_t));
+    int32_t *newlv = (int32_t *)malloc(Mc * sizeof(int32_t));
+    int32_t *nlive = (int32_t *)calloc(n_pairs, sizeof(int32_t));
+    int32_t *nlive2 = (int32_t *)calloc(n_pairs, sizeof(int32_t));
+    if (!src || !dst || !stamp || !live || !newlv) goto done;
+
+    memcpy(a_old, aold0, Mold * sizeof(int32_t));
+    memcpy(a_ref, aref0, Mref * sizeof(int32_t));
+    d[0] = 1; d[Mref] = 1;
+    for (long i = 0; i < n_pairs * Mc; ++i) stamp[i] = -1;
+    rp4_n = 0;
+    rp4_node(0, 0);                       /* root */
+    for (long pr = 0; pr < n_pairs; ++pr) {
+        src[pr * Mc].s = -1.0f;           /* cell j = 0 */
+        live[pr * Mc] = 0;
+        nlive[pr] = 1;
+    }
+
+    for (long k = 0; k < N; ++k) {
+        /* --- decode one column of each pbwt --- */
+        long m = 0;
+        while (m < Mold) {
+            if (pos_old >= nzold) goto done;
+            uint8_t b = yzold[pos_old++];
+            long n = p3dec[b & 0x7f];
+            if (m + n > Mold) goto done;
+            memset(ys_old + m, b >> 7, n);
+            m += n;
+        }
+        for (long i = 0; i < Mold; ++i) x_old[a_old[i]] = ys_old[i];
+        m = 0;
+        while (m < Mref) {
+            if (pos_ref >= nzref) goto done;
+            uint8_t b = yzref[pos_ref++];
+            long n = p3dec[b & 0x7f];
+            if (m + n > Mref) goto done;
+            memset(ys + m, b >> 7, n);
+            m += n;
+        }
+        /* rank table u[i] = zeros in ys[0..i) ; c = u[Mref] */
+        u[0] = 0;
+        for (long i = 0; i < Mref; ++i) u[i + 1] = u[i] + (ys[i] == 0);
+        long c = u[Mref];
+        phase_stop_max(d, ys, 0, Mref, bp0, bm0);
+        phase_stop_max(d, ys, 1, Mref, bp1, bm1);
+
+        for (long pr = 0; pr < n_pairs; ++pr) {
+            uint8_t x0 = x_old[2 * pr], x1 = x_old[2 * pr + 1];
+            int het = x0 != x1;
+            RP4Cell *srow = src + pr * Mc;
+            RP4Cell *drow = dst + pr * Mc;
+            int32_t *st = stamp + pr * Mc;
+            int32_t *lv = live + pr * Mc;
+            long nl = nlive[pr], nnew = 0;
+            for (long li = 0; li < nl; ++li) {
+                long j = lv[li];
+                RP4Cell *cell = srow + j;
+                for (int ph = 0; ph <= het; ++ph) {
+                    uint8_t xa = ph ? x1 : x0, xb = ph ? x0 : x1;
+                    long oj1 = cell->j1;
+                    int64_t bpa = xa ? bp1[j] : bp0[j];
+                    int64_t bma = xa ? bm1[j] : bm0[j];
+                    int64_t bpb = xb ? bp1[oj1] : bp0[oj1];
+                    int64_t bmb = xb ? bm1[oj1] : bm0[oj1];
+                    int32_t tdp0 = (bpa >= 0 && bpa > cell->dp0)
+                                   ? (int32_t)bpa : cell->dp0;
+                    int32_t tdm0 = (bma >= 0 && bma > cell->dm0)
+                                   ? (int32_t)bma : cell->dm0;
+                    int32_t tdp1 = (bpb >= 0 && bpb > cell->dp1)
+                                   ? (int32_t)bpb : cell->dp1;
+                    int32_t tdm1 = (bmb >= 0 && bmb > cell->dm1)
+                                   ? (int32_t)bmb : cell->dm1;
+                    double ds0 = 0.0, ds1 = 0.0;
+                    if (j > 0)
+                        ds0 += (ys[j - 1] == xa ? 1.0 : -1.0)
+                               * (double)(k - cell->dm0);
+                    if (j < Mref)
+                        ds0 += (ys[j] == xa ? 1.0 : -1.0)
+                               * (double)(k - cell->dp0);
+                    if (oj1 > 0)
+                        ds1 += (ys[oj1 - 1] == xb ? 1.0 : -1.0)
+                               * (double)(k - cell->dm1);
+                    if (oj1 < Mref)
+                        ds1 += (ys[oj1] == xb ? 1.0 : -1.0)
+                               * (double)(k - cell->dp1);
+                    float ts = cell->s;
+                    ts += (float)(ds0 < 0.0 ? ds0 : 0.0);
+                    ts += (float)(ds1 < 0.0 ? ds1 : 0.0);
+                    long tgt = xa ? c + j - u[j] : u[j];
+                    long nj1 = xb ? c + oj1 - u[oj1] : u[oj1];
+                    if (st[tgt] != (int32_t)k) {
+                        st[tgt] = (int32_t)k;
+                        newlv[nnew++] = (int32_t)tgt;
+                    } else if (!(ts > drow[tgt].s)) {
+                        continue;        /* first arrival wins ties */
+                    }
+                    drow[tgt].s = ts;
+                    drow[tgt].j1 = (int32_t)nj1;
+                    drow[tgt].dp0 = tdp0; drow[tgt].dm0 = tdm0;
+                    drow[tgt].dp1 = tdp1; drow[tgt].dm1 = tdm1;
+                    drow[tgt].back = cell->back;
+                    drow[tgt].xa = xa;
+                }
+            }
+            /* new live set, ascending (pass 2: traceback allocation in
+               (pair, target) order exactly like the batched update) */
+            qsort(newlv, nnew, sizeof(int32_t), rp4_cmp_i32);
+            if (het)
+                for (long li = 0; li < nnew; ++li) {
+                    long tgt = newlv[li];
+                    drow[tgt].back =
+                        (int32_t)rp4_node(drow[tgt].back, drow[tgt].xa);
+                }
+            memcpy(lv, newlv, nnew * sizeof(int32_t));
+            nlive2[pr] = (int32_t)nnew;
+        }
+        { RP4Cell *t = src; src = dst; dst = t; }
+        { int32_t *t = nlive; nlive = nlive2; nlive2 = t; }
+
+        /* advance both cursors */
+        fwd_a(a_old, ys_old, ones, Mold);
+        fwd_ad(a_ref, d, ys, ones, dones, Mref, (int32_t)k);
+    }
+
+    /* best final cell per pair: max s, first (smallest j) on ties */
+    for (long pr = 0; pr < n_pairs; ++pr) {
+        RP4Cell *srow = src + pr * Mc;
+        int32_t *lv = live + pr * Mc;
+        qsort(lv, nlive[pr], sizeof(int32_t), rp4_cmp_i32);
+        long best = -1;
+        float bs = 0.0f;
+        for (long li = 0; li < nlive[pr]; ++li) {
+            long j = lv[li];
+            if (best < 0 || srow[j].s > bs) { best = j; bs = srow[j].s; }
+        }
+        tb_out[pr] = best >= 0 ? srow[best].back : 0;
+    }
+    rc = rp4_n;
+done:
+    free(ys_old); free(x_old); free(ys); free(a_old); free(a_ref);
+    free(d); free(ones); free(dones); free(u);
+    free(bp0); free(bm0); free(bp1); free(bm1);
+    free(src); free(dst); free(stamp); free(live); free(newlv);
+    free(nlive); free(nlive2);
+    return rc;
+}
+
+EXPORT void ref_phase4_heap(int32_t *parent_out, uint8_t *value_out)
+{
+    memcpy(parent_out, rp4_parent, rp4_n * sizeof(int32_t));
+    memcpy(value_out, rp4_value, rp4_n);
+    free(rp4_parent); free(rp4_value);
+    rp4_parent = NULL; rp4_value = NULL;
+    rp4_n = rp4_cap = 0;
+}

@@ -172,26 +172,35 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
         msg += f"(nSparse = {n_sparse}, fSparse = {f_sparse:.2f}) "
     log(msg)
     self_impute = p_old is p_frame
-    max_match = _collect_matches(p_frame, p_old, self_impute)
-    N_old = p_old.N
-    for j in range(p_old.M):
-        max_match[j].sort(key=lambda m: m[1])
-        last_ref = max_match[j][-1][0] if max_match[j] else 0
-        max_match[j].append((last_ref, N_old, N_old + 1))   # end marker
+    from ..core import native
+    lib = native.get_lib()
+    rows = None
+    if not self_impute and lib is not None:
+        # the whole match set as one ndarray: skips 400k+ python report
+        # callbacks, list building and per-query sorting at scale
+        rows = matchmod.match_sequences_sweep_rows(p_frame, p_old)
+    if rows is not None:
+        max_match = None
         if registry.is_check:
-            log(f"{len(max_match[j])} matches found to query {j}")
+            cnts = np.bincount(rows[:, 0], minlength=p_old.M) + 1
+            for j in range(p_old.M):
+                log(f"{int(cnts[j])} matches found to query {j}")
+    else:
+        max_match = _collect_matches(p_frame, p_old, self_impute)
+        N_old = p_old.N
+        for j in range(p_old.M):
+            max_match[j].sort(key=lambda m: m[1])
+            last_ref = max_match[j][-1][0] if max_match[j] else 0
+            max_match[j].append((last_ref, N_old, N_old + 1))   # end marker
+            if registry.is_check:
+                log(f"{len(max_match[j])} matches found to query {j}")
 
-    YOld = p_old.decoded(True)
-    YRef = p_ref.decoded(True)
-    a_old = p_old.aFstart.copy()
-    a_ref = p_ref.aFstart.copy()
     p_new = PBWT(p_old.M, p_ref.N)
     p_new.isRefFreq = True
     u_new = engine.WriteCursor(p_old.M)
     zdosage = bytearray()
     dosage_offsets: list[int] = [0] * p_ref.N
     n_conflicts = 0
-    first_seg = [0] * p_old.M
     vd = registry.variation_dict
     frame_keys = [(s.x, s.varD) for s in p_frame.sites]
     ref_sites = p_ref.sites
@@ -207,12 +216,20 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
                     and rs.varD == frame_keys[k_old][1]):
                 k_old += 1
             kold_of_kref[k_ref] = k_old
-        from ..core import native
-        Xref_nat = p_ref.haplotypes()
-        ref_freq = ((YRef != 0).sum(axis=1) / float(p_ref.M)).astype(np.float64)
-        for k_ref in range(p_ref.N):
-            ref_sites[k_ref].refFreq = float(ref_freq[k_ref])
         T, Nref = p_old.M, p_ref.N
+
+        # one (n, 4) [j_target, j_ref, start, end] array, sorted by
+        # (target, start) as the per-target scans require (the reference
+        # qsorts each target's list by start, pbwtImpute.c:1150-1159; the
+        # weighted sums are order-independent within equal starts)
+        if rows is not None:
+            segments = rows[np.lexsort((rows[:, 2], rows[:, 0]))]
+        else:
+            segs = [(j, jr, s_, e_) for j in range(T)
+                    for jr, s_, e_ in max_match[j][:-1]]
+            segments = (np.asarray(segs, np.int64) if segs
+                        else np.zeros((0, 4), np.int64))
+
         from ..ops import device_requested
         use_device = False
         if device_requested():
@@ -221,15 +238,68 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
                 use_device = jax.default_backend() == "tpu"
             except RuntimeError:
                 use_device = False
-        lib = native.get_lib()
+
+        if not use_device and lib is not None and p_ref.yz:
+            # the whole core as ONE streaming C pass with O(Mref + T) live
+            # memory (the reference's cursor memory model): materialising
+            # (Nref x T) / (Nref x Mref) intermediates costs more in page
+            # faults than the votes cost in arithmetic on this host
+            counts = np.bincount(segments[:, 0], minlength=T) \
+                if len(segments) else np.zeros(T, np.int64)
+            seg_off = np.zeros(T + 1, np.int64)
+            np.cumsum(counts, out=seg_off[1:])
+            a_ref0 = (p_ref.aFstart if p_ref.aFstart is not None
+                      else np.arange(p_ref.M, dtype=np.int32))
+            (p_new.yz, p_new.zDosage, dos_off, ref_freq, psums, xsums,
+             pxsums, nvote, n_conflicts, a_end) = native.impute_vote_emit(
+                p_ref.yz, p_ref.M, Nref, a_ref0, segments, seg_off, T,
+                kold_of_kref)
+            p_new.aFend = a_end
+            p_new.N = Nref
+            p_new.dosageOffset = dos_off
+            p_new.invalidate()
+            for k_ref in range(Nref):
+                ref_sites[k_ref].refFreq = float(ref_freq[k_ref])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                psn = psums / nvote
+                xsn = xsums / nvote
+                pxn = pxsums / nvote
+            for k_ref in range(Nref):
+                if nvote[k_ref]:
+                    var_prod = (psn[k_ref] * (1 - psn[k_ref])
+                                * xsn[k_ref] * (1 - xsn[k_ref]))
+                    ref_sites[k_ref].imputeInfo = (
+                        (pxn[k_ref] - psn[k_ref] * psn[k_ref])
+                        / math.sqrt(var_prod) if var_prod else 1.0)
+            if n_conflicts:
+                log(f"{n_conflicts} times where no overlapping matches "
+                    "because query does not match any reference - set "
+                    "imputed value to 0")
+            return p_new
+
+        # materialised paths: device engine, or no native runtime
+        Xcols = Xref_nat = None
+        if lib is not None and p_ref.yz:
+            a_ref0 = (p_ref.aFstart if p_ref.aFstart is not None
+                      else np.arange(p_ref.M, dtype=np.int32))
+            Xcols, _, onec = native.natural_cols(
+                p_ref.yz, Nref, p_ref.M, a_ref0)
+            ref_freq = onec / float(p_ref.M)
+        else:
+            Xref_nat = p_ref.haplotypes()
+            YRef = p_ref.decoded(True)
+            ref_freq = ((YRef != 0).sum(axis=1)
+                        / float(p_ref.M)).astype(np.float64)
+        for k_ref in range(Nref):
+            ref_sites[k_ref].refFreq = float(ref_freq[k_ref])
+
+        site_major = False              # x_all/dos_all orientation
         if use_device:
             from ..ops import enable_compilation_cache
             from ..ops.impute_jax import impute_dosages_device
             enable_compilation_cache()
-            segs = [(j, jr, s_, e_) for j in range(T)
-                    for jr, s_, e_ in max_match[j][:-1]]
-            segments = (np.asarray(segs, np.int64) if segs
-                        else np.zeros((0, 4), np.int64))
+            if Xref_nat is None:
+                Xref_nat = p_ref.haplotypes()
             x_all, dos_all, voted = impute_dosages_device(
                 segments, T, Xref_nat, kold_of_kref, ref_freq)
             n_conflicts = int((~voted).sum())
@@ -238,31 +308,30 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
             xsums = np.where(voted, x_all, 0).sum(axis=0).astype(np.float64)
             pxsums = np.where(voted, dos_all * x_all, 0.0).sum(axis=0)
         elif lib is not None:
-            segs = [(j, jr, s_, e_) for j in range(T)
-                    for jr, s_, e_ in max_match[j][:-1]]
-            segs = (np.asarray(segs, np.int64) if segs
-                    else np.zeros((0, 4), np.int64))
-            counts = np.bincount(segs[:, 0], minlength=T) if len(segs) \
-                else np.zeros(T, np.int64)
+            counts = np.bincount(segments[:, 0], minlength=T) \
+                if len(segments) else np.zeros(T, np.int64)
             seg_off = np.zeros(T + 1, np.int64)
             np.cumsum(counts, out=seg_off[1:])
-            Xcols = np.ascontiguousarray(Xref_nat.T)
+            if Xcols is None:
+                Xcols = np.ascontiguousarray(Xref_nat.T)
             x_all = np.empty((Nref, T), np.uint8)
             dos_all = np.empty((Nref, T), np.float64)
             voted = np.empty((Nref, T), np.uint8)
             psums = np.empty(Nref); xsums = np.empty(Nref)
             pxsums = np.empty(Nref); nvote = np.empty(Nref, np.int64)
             lib.impute_vote(
-                np.ascontiguousarray(segs[:, 1], np.int32),
-                np.ascontiguousarray(segs[:, 2], np.int32),
-                np.ascontiguousarray(segs[:, 3], np.int32),
+                np.ascontiguousarray(segments[:, 1], np.int32),
+                np.ascontiguousarray(segments[:, 2], np.int32),
+                np.ascontiguousarray(segments[:, 3], np.int32),
                 seg_off, seg_off[:-1].astype(np.int32), T, Nref,
                 Xcols.reshape(-1), p_ref.M, kold_of_kref, ref_freq,
                 x_all.reshape(-1), dos_all.reshape(-1), voted.reshape(-1),
                 psums, xsums, pxsums, nvote)
-            x_all, dos_all = x_all.T, dos_all.T
+            site_major = True
             n_conflicts = int((voted == 0).sum())
         else:
+            if Xref_nat is None:
+                Xref_nat = p_ref.haplotypes()
             x_all, dos_all, voted = _vote_all_sites(
                 max_match, T, Xref_nat, kold_of_kref, ref_freq)
             n_conflicts = int((~voted).sum())
@@ -274,29 +343,49 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
             psn = psums / nvote
             xsn = xsums / nvote
             pxn = pxsums / nvote
-        for k_ref in range(p_ref.N):
-            y_new = x_all[u_new.a, k_ref]
-            y_dosage = dos_all[u_new.a, k_ref]
-            u_new.write_forwards(y_new)
-            dosage_offsets[k_ref] = len(zdosage)
-            enc = dosage_encode(y_dosage)
-            syms, lens = p3._runs(enc)
-            for s_, n_ in zip(syms.tolist(), lens.tolist()):
-                _dosage_emit(zdosage, int(s_), int(n_))
+
+        if lib is not None:
+            # whole output stage in one C pass (gather + pack3 + dosage
+            # RLE + prefix advance per site)
+            xa = x_all if site_major else np.ascontiguousarray(x_all.T)
+            da = dos_all if site_major else np.ascontiguousarray(dos_all.T)
+            p_new.yz, p_new.zDosage, dos_off, p_new.aFend = \
+                native.impute_emit(xa, da, u_new.a)
+            p_new.N = Nref
+            p_new.dosageOffset = dos_off
+            p_new.invalidate()
+        else:
+            xa = x_all.T if site_major else x_all
+            da = dos_all.T if site_major else dos_all
+            for k_ref in range(Nref):
+                y_new = xa[u_new.a, k_ref]
+                y_dosage = da[u_new.a, k_ref]
+                u_new.write_forwards(y_new)
+                dosage_offsets[k_ref] = len(zdosage)
+                enc = dosage_encode(y_dosage)
+                syms, lens = p3._runs(enc)
+                for s_, n_ in zip(syms.tolist(), lens.tolist()):
+                    _dosage_emit(zdosage, int(s_), int(n_))
+            p_new.set_from_write_cursor(u_new, Nref)
+            p_new.zDosage = bytes(zdosage)
+            p_new.dosageOffset = np.array(dosage_offsets, dtype=np.int64)
+        for k_ref in range(Nref):
             if nvote[k_ref]:
                 var_prod = (psn[k_ref] * (1 - psn[k_ref])
                             * xsn[k_ref] * (1 - xsn[k_ref]))
                 ref_sites[k_ref].imputeInfo = (
                     (pxn[k_ref] - psn[k_ref] * psn[k_ref])
                     / math.sqrt(var_prod) if var_prod else 1.0)
-        p_new.set_from_write_cursor(u_new, p_ref.N)
-        p_new.zDosage = bytes(zdosage)
-        p_new.dosageOffset = np.array(dosage_offsets, dtype=np.int64)
         if n_conflicts:
             log(f"{n_conflicts} times where no overlapping matches because "
                 "query does not match any reference - set imputed value to 0")
         return p_new
 
+    YOld = p_old.decoded(True)
+    YRef = p_ref.decoded(True)
+    a_old = p_old.aFstart.copy()
+    a_ref = p_ref.aFstart.copy()
+    first_seg = [0] * p_old.M
     k_old = 0
     for k_ref in range(p_ref.N):
         rs = ref_sites[k_ref]

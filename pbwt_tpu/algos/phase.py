@@ -303,11 +303,74 @@ def reference_phase4(p_old: PBWT, p_ref: PBWT) -> PBWT:
     M_old, N = p_old.M, p_old.N
     M = p_ref.M
     YOld = p_old.decoded(True)
-    YRef = p_ref.decoded(True)
     uold = engine.ReadCursor(YOld, p_old.aFstart)
+    n_pairs = M_old // 2
+
+    core = None
+    if p_old.yz and p_ref.yz:
+        # the whole forward lattice as one streaming C pass
+        # (native/pbwt_native.c ref_phase4_core; pinned cell-for-cell
+        # against the batched host path below by tests)
+        core = native.ref_phase4_core(p_old.yz, M_old, p_ref.yz, M, N,
+                                      p_old.aFstart, p_ref.aFstart)
+    if core is not None:
+        tb, tb_parent, tb_value = core
+        tb = tb.copy()
+        log(f"traceBackHeap final {len(tb_parent)}, max {len(tb_parent)}")
+        for _ in range(N):
+            uold.forwards_read()      # traceback walks back from the end
+    else:
+        tb, tb_parent, tb_value = _phase4_lattice_host(
+            p_ref, uold, M_old, M, N, n_pairs)
+
+    # traceback: walk hets backwards from each pair's best final cell
+    x_old = np.empty(M_old, dtype=np.uint8)
+    p_new = PBWT(M_old, N)
+    p_new.aRstart = np.arange(M_old, dtype=np.int32)
+    u_new_r = engine.WriteCursor(M_old, p_new.aRstart)
+    x_new = np.empty(M_old, dtype=np.uint8)
+    for k in range(N - 1, -1, -1):
+        uold.read_backwards()
+        x_old[uold.a] = uold.y
+        for jq in range(0, M_old, 2):
+            pr = jq // 2
+            if x_old[jq] == x_old[jq + 1]:
+                x_new[jq] = x_old[jq]
+                x_new[jq + 1] = x_old[jq + 1]
+            else:
+                node = int(tb[pr])
+                if node == 0:
+                    raise ValueError(f"premature end of trace back at k {k}")
+                x_new[jq] = tb_value[node]
+                x_new[jq + 1] = 1 - x_new[jq]
+                tb[pr] = tb_parent[node]
+    # writes into the reverse pbwt
+        u_new_r.write_natural(x_new)
+    p_new.zz = u_new_r.packed()
+    p_new.aRend = u_new_r.a.copy()
+    p_new.aFstart = u_new_r.a.copy()
+    # re-reverse to get the forward pbwt
+    ur = engine.ReadCursor(p_new.decoded(False), p_new.aRend)
+    ur.pos = N
+    u_new_f = engine.WriteCursor(M_old, p_new.aFstart)
+    xbuf = np.empty(M_old, dtype=np.uint8)
+    for k in range(N):
+        ur.read_backwards()
+        xbuf[ur.a] = ur.y
+        u_new_f.write_natural(xbuf)
+    p_new.yz = u_new_f.packed()
+    p_new.aFend = u_new_f.a.copy()
+    return p_new
+
+
+def _phase4_lattice_host(p_ref: PBWT, uold: "engine.ReadCursor",
+                         M_old: int, M: int, N: int, n_pairs: int):
+    """Batched-numpy forward lattice (the host fallback of
+    reference_phase4); leaves ``uold`` at the end and returns
+    (tb, tb_parent, tb_value)."""
+    YRef = p_ref.decoded(True)
     uref = engine.ReadCursor(YRef, p_ref.aFstart)
 
-    n_pairs = M_old // 2
     s = np.zeros((n_pairs, M + 1), dtype=np.float32)
     s[:, 0] = -1.0
     j1 = np.zeros((n_pairs, M + 1), dtype=np.int64)
@@ -453,49 +516,13 @@ def reference_phase4(p_old: PBWT, p_ref: PBWT) -> PBWT:
 
     log(f"traceBackHeap final {len(tb_parent)}, max {len(tb_parent)}")
 
-    # traceback: pick best final cell per pair, then walk hets backwards
+    # pick best final cell per pair
     tb = np.zeros(n_pairs, dtype=np.int64)
     for pr in range(n_pairs):
         live = np.flatnonzero(s[pr] != 0)
         j_best = live[np.argmax(s[pr][live])]
         tb[pr] = back[pr][j_best]
-
-    p_new = PBWT(M_old, N)
-    p_new.aRstart = np.arange(M_old, dtype=np.int32)
-    u_new_r = engine.WriteCursor(M_old, p_new.aRstart)
-    x_new = np.empty(M_old, dtype=np.uint8)
-    for k in range(N - 1, -1, -1):
-        uold.read_backwards()
-        x_old[uold.a] = uold.y
-        for jq in range(0, M_old, 2):
-            pr = jq // 2
-            if x_old[jq] == x_old[jq + 1]:
-                x_new[jq] = x_old[jq]
-                x_new[jq + 1] = x_old[jq + 1]
-            else:
-                node = int(tb[pr])
-                if node == 0:
-                    raise ValueError(f"premature end of trace back at k {k}")
-                x_new[jq] = tb_value[node]
-                x_new[jq + 1] = 1 - x_new[jq]
-                tb[pr] = tb_parent[node]
-    # writes into the reverse pbwt
-        u_new_r.write_natural(x_new)
-    p_new.zz = u_new_r.packed()
-    p_new.aRend = u_new_r.a.copy()
-    p_new.aFstart = u_new_r.a.copy()
-    # re-reverse to get the forward pbwt
-    ur = engine.ReadCursor(p_new.decoded(False), p_new.aRend)
-    ur.pos = N
-    u_new_f = engine.WriteCursor(M_old, p_new.aFstart)
-    xbuf = np.empty(M_old, dtype=np.uint8)
-    for k in range(N):
-        ur.read_backwards()
-        xbuf[ur.a] = ur.y
-        u_new_f.write_natural(xbuf)
-    p_new.yz = u_new_f.packed()
-    p_new.aFend = u_new_f.a.copy()
-    return p_new
+    return tb, tb_parent, tb_value
 
 
 def reference_phase(p_old: PBWT, root: str) -> PBWT:

@@ -270,6 +270,16 @@ class WriteCursor:
         self.flush()
         if y is not None:
             self.y = np.asarray(y, dtype=np.uint8)
+        if self._use_native is None:
+            from . import native
+            self._use_native = native.get_lib() is not None
+        if self._use_native:
+            from . import native
+            chunk = native.pack_advance(self.y, self._a)   # advances _a
+            if chunk is not None:
+                self.chunks.append(chunk)
+                self._n += len(chunk)
+                return
         chunk = p3.pack3(self.y)
         self.chunks.append(chunk)
         self._n += len(chunk)

@@ -136,6 +136,21 @@ def get_lib():
     lib.expand_records_mt.restype = L
     lib.expand_records_mt.argtypes = [u8p, L, L, L, L, i64p, i32p, i64p,
                                       i32p, i32p, i32p, i32p, i64p, i32p]
+    lib.natural_cols.restype = L
+    lib.natural_cols.argtypes = [u8p, L, L, L, i32p, u8p, i64p]
+    lib.impute_emit.restype = L
+    lib.impute_emit.argtypes = [u8p, f64p, L, L, i32p, u8p, L, u8p, L,
+                                i64p, i64p]
+    lib.impute_vote_emit.restype = L
+    lib.impute_vote_emit.argtypes = [u8p, L, L, L, i32p, i32p, i32p, i32p,
+                                     i64p, i32p, L, i32p, i64p, u8p, L,
+                                     u8p, L, i64p, f64p, f64p, f64p, f64p,
+                                     i64p, i64p]
+    lib.ref_phase4_core.restype = L
+    lib.ref_phase4_core.argtypes = [u8p, L, L, u8p, L, L, L, i32p, i32p,
+                                    i64p]
+    lib.ref_phase4_heap.restype = None
+    lib.ref_phase4_heap.argtypes = [i32p, u8p]
     _lib = lib
     return _lib
 
@@ -230,6 +245,137 @@ def build_pbwt_chunk(cols: np.ndarray, a: np.ndarray):
     if n > cap:
         raise AssertionError("pack3 chunk overflowed its worst-case bound")
     return yz[:n].tobytes()
+
+
+def ref_phase4_core(yzold: bytes, Mold: int, yzref: bytes, Mref: int,
+                    N: int, aold0: np.ndarray, aref0: np.ndarray):
+    """The referencePhase4 forward lattice (pbwtImpute.c:905-1005) as one
+    streaming C pass.  Returns (tb int64[n_pairs] — the traceback root of
+    each diploid's best final cell — tb_parent int32[n], tb_value uint8[n])
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bo = np.frombuffer(bytes(yzold), np.uint8)
+    br = np.frombuffer(bytes(yzref), np.uint8)
+    n_pairs = Mold // 2
+    tb = np.empty(n_pairs, np.int64)
+    n = lib.ref_phase4_core(bo, len(bo), Mold, br, len(br), Mref, N,
+                            np.ascontiguousarray(aold0, np.int32),
+                            np.ascontiguousarray(aref0, np.int32), tb)
+    if n < 0:
+        raise ValueError("ref_phase4_core: corrupt pack3 stream")
+    parent = np.empty(n, np.int32)
+    value = np.empty(n, np.uint8)
+    lib.ref_phase4_heap(parent, value)
+    return tb, parent, value
+
+
+def pack_advance(y: np.ndarray, a: np.ndarray):
+    """One write-cursor step (pbwtCursorWriteForwards, pbwtCore.c:573-578):
+    pack3-encode the sorted column and advance ``a`` IN PLACE.  Returns the
+    packed bytes, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    y = np.ascontiguousarray(y, np.uint8)
+    M = y.shape[0]
+    out = pooled(M + 8, "pack_adv_out")
+    nb = lib.p3_encode(y, M, out)
+    ones = pooled_view(M, np.int32, "pack_adv_ones")
+    lib.fwd_a(a, y, ones, M)
+    return out[:nb].tobytes()
+
+
+def natural_cols(yz: bytes, ncols: int, M: int, a0: np.ndarray):
+    """Stream a packed PBWT into site-major NATURAL-order columns.
+
+    Returns (X (ncols, M) uint8, a_end, ones_per_col int64) or None.
+    One C pass (decode + scatter + prefix advance) replaces
+    decode-everything + a python a-chase + a transpose."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(yz), np.uint8)
+    a = np.ascontiguousarray(a0, np.int32).copy()
+    X = np.empty((ncols, M), np.uint8)
+    counts = np.empty(ncols, np.int64)
+    used = lib.natural_cols(buf, len(buf), ncols, M, a, X.reshape(-1), counts)
+    if used < 0:
+        raise ValueError("corrupt pack3 stream")
+    return X, a, counts
+
+
+def impute_vote_emit(yzref: bytes, Mref: int, Nref: int, a_ref0: np.ndarray,
+                     segments: np.ndarray, seg_off: np.ndarray, T: int,
+                     kold: np.ndarray):
+    """The whole referenceImpute3 core (pbwtImpute.c:1184-1251) as one
+    streaming C pass with O(Mref + T) live memory: decode panel column →
+    natural scatter → weighted vote per target → pack3 + dosage-RLE emit →
+    advance both prefix arrays.  segments (n, 4) [j, j_ref, start, end]
+    must be sorted by (j, start).
+
+    Returns (yz, zdosage, dos_off, ref_freq, psums, xsums, pxsums, nvote,
+    n_conflicts, a_tgt_end) or None when the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(yzref), np.uint8)
+    a_ref = np.ascontiguousarray(a_ref0, np.int32).copy()
+    a_tgt = np.arange(T, dtype=np.int32)
+    first = seg_off[:-1].astype(np.int32)
+    yz_cap = Nref * (T + 8) + 16
+    zdos_cap = Nref * (T + T // 4 + 16) + 16
+    yz = pooled(yz_cap, "impute_emit_yz")
+    zdos = pooled(zdos_cap, "impute_emit_zdos")
+    dos_off = np.empty(Nref, np.int64)
+    ref_freq = np.empty(Nref, np.float64)
+    psums = np.empty(Nref, np.float64)
+    xsums = np.empty(Nref, np.float64)
+    pxsums = np.empty(Nref, np.float64)
+    nvote = np.empty(Nref, np.int64)
+    lens = np.empty(2, np.int64)
+    conflicts = lib.impute_vote_emit(
+        buf, len(buf), Mref, Nref, a_ref,
+        np.ascontiguousarray(segments[:, 1], np.int32),
+        np.ascontiguousarray(segments[:, 2], np.int32),
+        np.ascontiguousarray(segments[:, 3], np.int32),
+        np.ascontiguousarray(seg_off, np.int64), first, T, a_tgt, kold,
+        yz, yz_cap, zdos, zdos_cap, dos_off, ref_freq,
+        psums, xsums, pxsums, nvote, lens)
+    if conflicts < 0:
+        raise ValueError("impute_vote_emit: corrupt stream or overflow")
+    return (yz[:lens[0]].tobytes(), zdos[:lens[1]].tobytes(), dos_off,
+            ref_freq, psums, xsums, pxsums, nvote, int(conflicts), a_tgt)
+
+
+def impute_emit(x_all: np.ndarray, dos_all: np.ndarray, a0: np.ndarray):
+    """referenceImpute3 output stage (pbwtImpute.c:1235-1249): per site,
+    gather to sort order, pack3 the alleles, RLE the quantised dosages,
+    advance the prefix array.  x_all/dos_all are site-major (Nref, T).
+
+    Returns (yz bytes, zdosage bytes, dosage_offsets int64, a_end) or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    Nref, T = x_all.shape
+    x_all = np.ascontiguousarray(x_all, np.uint8)
+    dos_all = np.ascontiguousarray(dos_all, np.float64)
+    a = np.ascontiguousarray(a0, np.int32).copy()
+    yz_cap = Nref * (T + 8) + 16
+    # dosage worst case: <=1 byte/element for short runs; long zero runs
+    # add <=3 escape bytes each and there are <= T/32 of those per site
+    zdos_cap = Nref * (T + T // 4 + 16) + 16
+    yz = pooled(yz_cap, "impute_emit_yz")
+    zdos = pooled(zdos_cap, "impute_emit_zdos")
+    dos_off = np.empty(Nref, np.int64)
+    lens = np.empty(2, np.int64)
+    rc = lib.impute_emit(x_all.reshape(-1), dos_all.reshape(-1), T, Nref, a,
+                         yz, yz_cap, zdos, zdos_cap, dos_off, lens)
+    if rc < 0:
+        raise AssertionError("impute_emit overflowed its worst-case bound")
+    return yz[:lens[0]].tobytes(), zdos[:lens[1]].tobytes(), dos_off, a
 
 
 def decode_cols(yz: bytes, ncols: int, M: int):

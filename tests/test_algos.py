@@ -274,3 +274,45 @@ def test_corrupt_and_copy_samples():
     p2 = PBWT.from_haplotypes(X.copy())
     q2 = impute.copy_samples(p2, 10, 5.0)
     assert q2.M == 10 and q2.N == 30
+
+
+def test_reference_impute3_native_matches_fallback(monkeypatch):
+    """The fused streaming C core (native.impute_vote_emit) produces the
+    same pbwt bytes, dosage stream, offsets, refFreq and imputeInfo as the
+    pure-numpy vote + python emit path (packed bytes compared directly,
+    complementing test_native_parity.test_impute_vote_parity)."""
+    from pbwt_tpu.algos import impute as impmod
+    from pbwt_tpu.core import native, registry
+    from pbwt_tpu.core.pbwt import Site
+
+    rng = np.random.RandomState(5)
+    Mref, Nref, T = 40, 60, 8
+    Xref = mosaic_haps(5, Mref, Nref)
+    Xq = mosaic_haps(6, T, Nref)
+    keep = np.sort(rng.choice(Nref, size=Nref // 2, replace=False))
+    vid = registry.variation("A", "C")
+    sites = [Site(x=100 + 7 * i, varD=vid) for i in range(Nref)]
+
+    def run():
+        p_ref = PBWT.from_haplotypes(Xref, chrom="1",
+                                     sites=[s.copy() for s in sites])
+        p_frame = PBWT.from_haplotypes(
+            Xref[:, keep], chrom="1",
+            sites=[sites[i].copy() for i in keep])
+        p_old = PBWT.from_haplotypes(
+            Xq[:, keep], chrom="1",
+            sites=[sites[i].copy() for i in keep])
+        p_new = impmod.reference_impute3(p_old, p_ref, p_frame)
+        return (p_new.yz, p_new.zDosage, p_new.dosageOffset.tolist(),
+                [s.refFreq for s in p_ref.sites],
+                [s.imputeInfo for s in p_ref.sites])
+
+    a = run()
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    b = run()
+    assert a[0] == b[0]
+    assert a[1] == b[1]
+    assert a[2] == b[2]
+    assert np.allclose(a[3], b[3])
+    assert np.allclose(np.nan_to_num(np.array(a[4], np.float64)),
+                       np.nan_to_num(np.array(b[4], np.float64)))

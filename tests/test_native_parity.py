@@ -174,3 +174,30 @@ def test_max_within_bucketed_equals_row_buffer():
     assert np.array_equal(sj, rows[:, 1])
     assert np.array_equal(ss, rows[:, 2])
     assert np.array_equal(se, rows[:, 3])
+
+
+def test_reference_phase4_core_parity():
+    """The C lattice core (ref_phase4_core) phases identically to the
+    batched-numpy lattice across panel shapes, including tie-heavy
+    low-diversity panels."""
+    from pbwt_tpu.algos import phase as ph
+
+    for seed, Mref, T, N, founders in [(11, 60, 8, 90, 6),
+                                       (12, 37, 6, 120, 3),
+                                       (13, 100, 10, 70, 12)]:
+        Xref = mosaic(seed, Mref, N, founders=founders)
+        Xq = mosaic(seed + 100, T, N, founders=founders)
+        p_ref = _mk(Xref)
+        p_old = _mk(Xq)
+        pc = ph.reference_phase4(p_old, p_ref)
+        saved_lib, saved_tried = native._lib, native._tried
+        try:
+            native._lib = None
+            native._tried = True
+            p_ref2 = _mk(Xref)
+            p_old2 = _mk(Xq)
+            pp = ph.reference_phase4(p_old2, p_ref2)
+        finally:
+            native._lib, native._tried = saved_lib, saved_tried
+        assert pc.yz == pp.yz, f"seed {seed}"
+        assert np.array_equal(pc.haplotypes(), pp.haplotypes()), f"seed {seed}"
