@@ -1502,6 +1502,8 @@ EXPORT long impute_vote_emit(
     const int32_t *seg_jref, const int32_t *seg_s, const int32_t *seg_e,
     const int64_t *seg_off, int32_t *first, long T, int32_t *a_tgt,
     const int64_t *kold,
+    long self_mode, const uint8_t *zmiss, long nzmiss,
+    const int64_t *miss_off,
     uint8_t *yz, long yz_cap, uint8_t *zdos, long zdos_cap,
     int64_t *dos_off, double *ref_freq_out,
     double *psum_out, double *xsum_out, double *pxsum_out,
@@ -1516,6 +1518,7 @@ EXPORT long impute_vote_emit(
     uint8_t *ynew = (uint8_t *)malloc(T);
     int32_t *ones_t = (int32_t *)malloc(T * sizeof(int32_t));
     uint8_t *runbuf = (uint8_t *)malloc(T + 8);
+    uint8_t *miss = self_mode ? (uint8_t *)malloc(Mref) : NULL;
     long pos = 0, ny = 0, nd = 0, conflicts = 0;
     long rc = -1;
     for (long k = 0; k < Nref; ++k) {
@@ -1531,12 +1534,35 @@ EXPORT long impute_vote_emit(
         }
         ref_freq_out[k] = (double)onec / (double)Mref;
         for (long i = 0; i < Mref; ++i) xnat[a_ref[i]] = ys[i];
+        if (self_mode) {
+            /* missing mask for this site, natural order (imputeMissing
+               self-impute: complete entries copy straight through,
+               pbwtImpute.c:1341-1358) */
+            long moff = miss_off[k];
+            if (moff > 0) {
+                long mm = 0;
+                while (mm < Mref) {
+                    if (moff >= nzmiss) goto done;
+                    uint8_t b = zmiss[moff++];
+                    long n = p3dec[b & 0x7f];
+                    if (mm + n > Mref) goto done;
+                    memset(miss + mm, b >> 7, n);
+                    mm += n;
+                }
+            } else
+                memset(miss, 0, Mref);
+        }
 
         long ko = kold[k];
         double rf = ref_freq_out[k];
         double psum = 0, xsum = 0, pxsum = 0;
         long n = 0;
         for (long j = 0; j < T; ++j) {
+            if (self_mode && !miss[j]) {
+                xr[j] = xnat[j];
+                dr[j] = (double)xnat[j];
+                continue;
+            }
             long mi = first[j], end = seg_off[j + 1];
             while (mi < end && seg_e[mi] <= ko) ++mi;
             first[j] = (int32_t)mi;
@@ -1587,7 +1613,7 @@ EXPORT long impute_vote_emit(
     rc = conflicts;
 done:
     free(ys); free(xnat); free(ones_r); free(xr); free(dr);
-    free(ynew); free(ones_t); free(runbuf);
+    free(ynew); free(ones_t); free(runbuf); free(miss);
     return rc;
 }
 

@@ -175,10 +175,23 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
     from ..core import native
     lib = native.get_lib()
     rows = None
-    if not self_impute and lib is not None:
+    if lib is not None:
         # the whole match set as one ndarray: skips 400k+ python report
         # callbacks, list building and per-query sorting at scale
-        rows = matchmod.match_sequences_sweep_rows(p_frame, p_old)
+        if self_impute:
+            if p_ref.yz and p_frame.N == 0 and not registry.is_check:
+                # empty frame: every within-panel match is the degenerate
+                # (s=0, e=0) report whose vote weight (ko-s)(e-ko) can
+                # never be positive — an empty segment set is equivalent
+                # (the -check path keeps them for count-log parity)
+                rows = np.zeros((0, 4), np.int64)
+            elif p_frame.yz and p_ref.yz:
+                a0f = (p_frame.aFstart if p_frame.aFstart is not None
+                       else np.arange(p_frame.M, dtype=np.int32))
+                rows = native.max_within_packed(
+                    p_frame.yz, p_frame.M, p_frame.N, a0f)
+        else:
+            rows = matchmod.match_sequences_sweep_rows(p_frame, p_old)
     if rows is not None:
         max_match = None
         if registry.is_check:
@@ -379,6 +392,55 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
         if n_conflicts:
             log(f"{n_conflicts} times where no overlapping matches because "
                 "query does not match any reference - set imputed value to 0")
+        return p_new
+
+    if rows is not None and p_ref.yz:
+        # self-impute (imputeMissing) through the same fused streaming C
+        # core: complete entries copy straight through via the missing
+        # stream, only missing entries vote (pbwtImpute.c:1341-1358)
+        T, Nref = p_old.M, p_ref.N
+        kold_of_kref = np.zeros(Nref, np.int64)
+        k_old = 0
+        for k_ref in range(Nref):
+            rs = ref_sites[k_ref]
+            if (k_old < len(frame_keys) and rs.x == frame_keys[k_old][0]
+                    and rs.varD == frame_keys[k_old][1]):
+                k_old += 1
+            kold_of_kref[k_ref] = k_old
+        segments = rows[np.lexsort((rows[:, 2], rows[:, 0]))]
+        counts = np.bincount(segments[:, 0], minlength=T) \
+            if len(segments) else np.zeros(T, np.int64)
+        seg_off = np.zeros(T + 1, np.int64)
+        np.cumsum(counts, out=seg_off[1:])
+        a_ref0 = (p_ref.aFstart if p_ref.aFstart is not None
+                  else np.arange(p_ref.M, dtype=np.int32))
+        moff = (p_ref.missingOffset if p_ref.missingOffset is not None
+                else np.zeros(Nref, np.int64))
+        (p_new.yz, p_new.zDosage, dos_off, ref_freq, psums, xsums,
+         pxsums, nvote, n_conflicts, a_end) = native.impute_vote_emit(
+            p_ref.yz, p_ref.M, Nref, a_ref0, segments, seg_off, T,
+            kold_of_kref, p_ref.zMissing, moff)
+        p_new.aFend = a_end
+        p_new.N = Nref
+        p_new.dosageOffset = dos_off
+        p_new.invalidate()
+        for k_ref in range(Nref):
+            ref_sites[k_ref].refFreq = float(ref_freq[k_ref])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            psn = psums / nvote
+            xsn = xsums / nvote
+            pxn = pxsums / nvote
+        for k_ref in range(Nref):
+            if nvote[k_ref]:
+                var_prod = (psn[k_ref] * (1 - psn[k_ref])
+                            * xsn[k_ref] * (1 - xsn[k_ref]))
+                ref_sites[k_ref].imputeInfo = (
+                    (pxn[k_ref] - psn[k_ref] * psn[k_ref])
+                    / math.sqrt(var_prod) if var_prod else 1.0)
+        if n_conflicts:
+            log(f"{n_conflicts} times where no overlapping matches "
+                "because query does not match any reference - set "
+                "imputed value to 0")
         return p_new
 
     YOld = p_old.decoded(True)

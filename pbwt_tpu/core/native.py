@@ -143,9 +143,10 @@ def get_lib():
                                 i64p, i64p]
     lib.impute_vote_emit.restype = L
     lib.impute_vote_emit.argtypes = [u8p, L, L, L, i32p, i32p, i32p, i32p,
-                                     i64p, i32p, L, i32p, i64p, u8p, L,
-                                     u8p, L, i64p, f64p, f64p, f64p, f64p,
-                                     i64p, i64p]
+                                     i64p, i32p, L, i32p, i64p,
+                                     L, u8p, L, i64p,
+                                     u8p, L, u8p, L, i64p, f64p,
+                                     f64p, f64p, f64p, i64p, i64p]
     lib.ref_phase4_core.restype = L
     lib.ref_phase4_core.argtypes = [u8p, L, L, u8p, L, L, L, i32p, i32p,
                                     i64p]
@@ -308,12 +309,17 @@ def natural_cols(yz: bytes, ncols: int, M: int, a0: np.ndarray):
 
 def impute_vote_emit(yzref: bytes, Mref: int, Nref: int, a_ref0: np.ndarray,
                      segments: np.ndarray, seg_off: np.ndarray, T: int,
-                     kold: np.ndarray):
+                     kold: np.ndarray, zmiss: bytes | None = None,
+                     miss_off: np.ndarray | None = None):
     """The whole referenceImpute3 core (pbwtImpute.c:1184-1251) as one
     streaming C pass with O(Mref + T) live memory: decode panel column →
     natural scatter → weighted vote per target → pack3 + dosage-RLE emit →
     advance both prefix arrays.  segments (n, 4) [j, j_ref, start, end]
     must be sorted by (j, start).
+
+    Self-impute mode (imputeMissing, pbwtImpute.c:1323-1371): pass the
+    panel's missing stream (zmiss + per-site offsets, offset 0 = none);
+    complete entries copy straight through and only missing entries vote.
 
     Returns (yz, zdosage, dos_off, ref_freq, psums, xsums, pxsums, nvote,
     n_conflicts, a_tgt_end) or None when the native library is missing."""
@@ -324,6 +330,10 @@ def impute_vote_emit(yzref: bytes, Mref: int, Nref: int, a_ref0: np.ndarray,
     a_ref = np.ascontiguousarray(a_ref0, np.int32).copy()
     a_tgt = np.arange(T, dtype=np.int32)
     first = seg_off[:-1].astype(np.int32)
+    self_mode = 1 if miss_off is not None else 0
+    zm = np.frombuffer(zmiss if zmiss else b"\x00", np.uint8)
+    mo = (np.ascontiguousarray(miss_off, np.int64) if miss_off is not None
+          else np.zeros(Nref, np.int64))
     yz_cap = Nref * (T + 8) + 16
     zdos_cap = Nref * (T + T // 4 + 16) + 16
     yz = pooled(yz_cap, "impute_emit_yz")
@@ -341,6 +351,7 @@ def impute_vote_emit(yzref: bytes, Mref: int, Nref: int, a_ref0: np.ndarray,
         np.ascontiguousarray(segments[:, 2], np.int32),
         np.ascontiguousarray(segments[:, 3], np.int32),
         np.ascontiguousarray(seg_off, np.int64), first, T, a_tgt, kold,
+        self_mode, zm, len(zm), mo,
         yz, yz_cap, zdos, zdos_cap, dos_off, ref_freq,
         psums, xsums, pxsums, nvote, lens)
     if conflicts < 0:

@@ -333,3 +333,38 @@ def test_pretty_siteinfo_identical(ref_bin, data_dir):
                       "5", "40"], d)
     run_ours(["-readMacs", "sim.macs", "-siteInfo", "os.txt", "5", "40"], d)
     assert open(f"{d}/rs.txt").read() == open(f"{d}/os.txt").read()
+
+
+def test_impute_missing_crosscheck(ref_bin, data_dir, tmp_path):
+    """imputeMissing end-to-end vs the reference binary: the missing
+    sidecar is produced by our VCF importer (the reference build here has
+    no htslib), both then read the same root.  Covers a real frame
+    (missing confined to a site subset) and the every-site-missing
+    degenerate (empty frame)."""
+    rng = np.random.RandomState(17)
+    ns, N = 60, 120
+    M = 2 * ns
+    F = (rng.random_sample((8, N)) < 0.4).astype(np.uint8)
+    X = F[rng.randint(8, size=M)] ^ (rng.random_sample((M, N)) < 0.01)
+    pos = np.sort(rng.choice(np.arange(1000, 10**6), N, replace=False))
+    for tag, site_rate, gt_rate in (("part", 0.15, 0.1), ("all", 1.0, 0.02)):
+        miss_site = rng.random_sample(N) < site_rate
+        with open(tmp_path / f"m_{tag}.vcf", "w") as f:
+            f.write("##fileformat=VCFv4.2\n##contig=<ID=7>\n")
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                    + "\t".join(f"S{i}" for i in range(ns)) + "\n")
+            for k in range(N):
+                miss = (rng.random_sample(M) < gt_rate) if miss_site[k] \
+                    else np.zeros(M, bool)
+                if tag == "all":
+                    miss[k % M] = True        # every site incomplete
+                gts = "\t".join(
+                    ("." if miss[2*i] else str(X[2*i, k])) + "|"
+                    + ("." if miss[2*i+1] else str(X[2*i+1, k]))
+                    for i in range(ns))
+                f.write(f"7\t{pos[k]}\t.\tA\tC\t.\tPASS\t.\tGT\t{gts}\n")
+        run_ours(["-readVcfGT", f"m_{tag}.vcf", "-writeAll", f"root_{tag}"],
+                 str(tmp_path))
+        args = ["-readAll", f"root_{tag}", "-imputeMissing", "-haps", "-"]
+        assert run_ref(ref_bin, args, str(tmp_path)) \
+            == run_ours(args, str(tmp_path)), tag
