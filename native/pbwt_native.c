@@ -1841,3 +1841,224 @@ EXPORT void ref_phase4_heap(int32_t *parent_out, uint8_t *value_out)
     rp4_parent = NULL; rp4_value = NULL;
     rp4_n = rp4_cap = 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* phaseSweep core (pbwtImpute.c:288-372)                              */
+/* ------------------------------------------------------------------ */
+
+/* byte offset of every pack3 column (one forward scan) */
+static long p3_col_offsets(const uint8_t *yz, long nz, long N, long M,
+                           int64_t *off)
+{
+    if (!p3dec_ready) p3dec_init();
+    long pos = 0;
+    for (long k = 0; k < N; ++k) {
+        off[k] = pos;
+        long m = 0;
+        while (m < M) {
+            if (pos >= nz) return -1;
+            long n = p3dec[yz[pos++] & 0x7f];
+            if (m + n > M) return -1;
+            m += n;
+        }
+    }
+    off[N] = pos;
+    return pos;
+}
+
+static long p3_col_at(const uint8_t *yz, long nz, long off, long M,
+                      uint8_t *y)
+{
+    long m = 0;
+    while (m < M) {
+        if (off >= nz) return -1;
+        uint8_t b = yz[off++];
+        long n = p3dec[b & 0x7f];
+        if (m + n > M) return -1;
+        memset(y + m, b >> 7, n);
+        m += n;
+    }
+    return off;
+}
+
+/* inverse of the stable partition (pbwtCursorReadBackwards,
+   pbwtCore.c:559-571): given the sorted column y at the earlier site,
+   recover the prefix array entering it */
+static void bwd_a(int32_t *a, const uint8_t *y, int32_t *tmp, long M)
+{
+    long c = 0;
+    for (long i = 0; i < M; ++i) c += (y[i] == 0);
+    long zr = 0, orr = 0;
+    for (long i = 0; i < M; ++i)
+        tmp[i] = y[i] == 0 ? a[zr++] : a[c + orr++];
+    memcpy(a, tmp, M * sizeof(int32_t));
+}
+
+typedef struct { int32_t *a, *d, *b; } SweepCur;
+
+static void sweep_cur_init(SweepCur *c, long M, const int32_t *a0)
+{
+    c->a = (int32_t *)malloc(M * sizeof(int32_t));
+    c->d = (int32_t *)calloc(M + 1, sizeof(int32_t));
+    c->b = (int32_t *)malloc(M * sizeof(int32_t));
+    if (a0) memcpy(c->a, a0, M * sizeof(int32_t));
+    else for (long i = 0; i < M; ++i) c->a[i] = (int32_t)i;
+    c->d[0] = 1; c->d[M] = 1;
+    for (long i = 0; i < M; ++i) c->b[c->a[i]] = (int32_t)i;
+}
+
+static void sweep_cur_free(SweepCur *c)
+{
+    free(c->a); free(c->d); free(c->b);
+}
+
+/* neighbour tables for phase_resolve: sort-order neighbours of each hap
+   and (for weighted cursors) the score1 log-length weights */
+static void sweep_tables(const int32_t *a, const int32_t *b,
+                         const int32_t *d, long M,
+                         const double *score_bit, long nsb, long kc,
+                         int32_t *al, int32_t *ar, double *wl, double *wr)
+{
+    for (long i = 0; i < M; ++i) {
+        long pos = b[i];
+        al[i] = pos > 0 ? a[pos - 1] : -1;
+        ar[i] = pos < M - 1 ? a[pos + 1] : -1;
+        if (wl) {
+            long li = kc + 1 - d[pos];
+            long ri = kc + 1 - d[pos + 1];
+            if (li < 0) li += nsb;      /* numpy negative-index wrap; the */
+            if (ri < 0) ri += nsb;      /* entry is unused when al/ar < 0 */
+            wl[i] = score_bit[li];
+            wr[i] = score_bit[ri];
+        }
+    }
+}
+
+/* One whole phaseSweep pass (pbwtImpute.c:288-372) as a streaming C
+   loop, matching algos/phase.py:phase_sweep exactly: read panel columns
+   (forwards, or backwards via column offsets), build neighbour tables
+   for the main + nSparse interleaved cursors (+ the reverse-pass pbwt on
+   the forward sweep), resolve hets with phase_resolve, write the phased
+   pbwt through an AD write cursor.  Returns packed length or -1. */
+EXPORT long phase_sweep_core(
+    const uint8_t *yzp, long nzp, long M, long N,
+    const int32_t *ap0, long is_start,
+    const uint8_t *yzr, long nzr, const int32_t *ar0,
+    const int32_t *rbinv0, long has_r,
+    const int32_t *aq0, long n_sparse, const double *score_bit,
+    double thresh, uint8_t *yz_out, long cap,
+    int32_t *aq_end, int32_t *bq_end)
+{
+    if (!p3dec_ready) p3dec_init();
+    long rc = -1, nout = 0;
+    long ncur = 1 + n_sparse + (has_r ? 1 : 0);
+    long n1cur = 1 + n_sparse;
+    long nsb = N + 2;
+
+    int64_t *offp = NULL, *offr = NULL;
+    uint8_t *yp = (uint8_t *)malloc(M);
+    uint8_t *x = (uint8_t *)malloc(M);
+    uint8_t *yq = (uint8_t *)malloc(M);
+    uint8_t *runbuf = (uint8_t *)malloc(M + 8);
+    int32_t *ap = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *tmp = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *dones = (int32_t *)malloc(M * sizeof(int32_t));
+    double *xp = (double *)malloc(M * sizeof(double));
+    int32_t *aL = (int32_t *)malloc(ncur * M * sizeof(int32_t));
+    int32_t *aR = (int32_t *)malloc(ncur * M * sizeof(int32_t));
+    double *wL = (double *)malloc(n1cur * M * sizeof(double));
+    double *wR = (double *)malloc(n1cur * M * sizeof(double));
+    int32_t *ar = NULL, *rbinv = NULL;
+    uint8_t *yr = NULL;
+    SweepCur uq;
+    SweepCur *uqq = (SweepCur *)malloc(n_sparse * sizeof(SweepCur));
+    sweep_cur_init(&uq, M, aq0);
+    for (long j = 0; j < n_sparse; ++j) sweep_cur_init(&uqq[j], M, NULL);
+    memcpy(ap, ap0, M * sizeof(int32_t));
+    long pos_p = 0;
+
+    if (!is_start) {
+        offp = (int64_t *)malloc((N + 1) * sizeof(int64_t));
+        if (p3_col_offsets(yzp, nzp, N, M, offp) < 0) goto done;
+    }
+    if (has_r) {
+        offr = (int64_t *)malloc((N + 1) * sizeof(int64_t));
+        if (p3_col_offsets(yzr, nzr, N, M, offr) < 0) goto done;
+        ar = (int32_t *)malloc(M * sizeof(int32_t));
+        rbinv = (int32_t *)malloc(M * sizeof(int32_t));
+        yr = (uint8_t *)malloc(M);
+        memcpy(ar, ar0, M * sizeof(int32_t));
+        memcpy(rbinv, rbinv0, M * sizeof(int32_t));
+    }
+
+    for (long k = 0; k < N; ++k) {
+        /* panel column -> natural order x */
+        if (is_start) {
+            pos_p = p3_col_at(yzp, nzp, pos_p, M, yp);
+            if (pos_p < 0) goto done;
+            for (long i = 0; i < M; ++i) x[ap[i]] = yp[i];
+            fwd_a(ap, yp, ones, M);
+        } else {
+            if (p3_col_at(yzp, nzp, offp[N - 1 - k], M, yp) < 0) goto done;
+            bwd_a(ap, yp, tmp, M);
+            for (long i = 0; i < M; ++i) x[ap[i]] = yp[i];
+        }
+        long n2 = 0;
+        for (long i = 0; i < M; i += 2) {
+            if (x[i] != x[i + 1]) {
+                xp[i] = 0.0; xp[i + 1] = 0.0; ++n2;
+            } else {
+                xp[i] = x[i] ? 1.0 : -1.0;
+                xp[i + 1] = x[i + 1] ? 1.0 : -1.0;
+            }
+        }
+        if (n2) {
+            sweep_tables(uq.a, uq.b, uq.d, M, score_bit, nsb, k,
+                         aL, aR, wL, wR);
+            for (long j = 0; j < n_sparse; ++j)
+                sweep_tables(uqq[j].a, uqq[j].b, uqq[j].d, M, score_bit,
+                             nsb, k / n_sparse, aL + (1 + j) * M,
+                             aR + (1 + j) * M, wL + (1 + j) * M,
+                             wR + (1 + j) * M);
+            if (has_r)
+                sweep_tables(ar, rbinv, NULL, M, NULL, 0, 0,
+                             aL + (1 + n_sparse) * M,
+                             aR + (1 + n_sparse) * M, NULL, NULL);
+            phase_resolve(xp, M, ncur, n1cur, aL, aR, wL, wR, thresh);
+        }
+        for (long i = 0; i < M; ++i) x[i] = xp[i] > 0.0;
+        /* uq.write_ad(x, k) */
+        for (long i = 0; i < M; ++i) yq[i] = x[uq.a[i]];
+        long nb = p3_encode(yq, M, runbuf);
+        if (nout + nb > cap) goto done;
+        memcpy(yz_out + nout, runbuf, nb);
+        nout += nb;
+        fwd_ad(uq.a, uq.d, yq, ones, dones, M, (int32_t)k);
+        for (long i = 0; i < M; ++i) uq.b[uq.a[i]] = (int32_t)i;
+        /* sparse cursor k % n_sparse advances with k2 = k / n_sparse */
+        {
+            SweepCur *c = &uqq[k % n_sparse];
+            for (long i = 0; i < M; ++i) yq[i] = x[c->a[i]];
+            fwd_ad(c->a, c->d, yq, ones, dones, M, (int32_t)(k / n_sparse));
+            for (long i = 0; i < M; ++i) c->b[c->a[i]] = (int32_t)i;
+        }
+        if (has_r) {
+            if (p3_col_at(yzr, nzr, offr[N - 1 - k], M, yr) < 0) goto done;
+            bwd_a(ar, yr, tmp, M);
+            for (long i = 0; i < M; ++i) rbinv[ar[i]] = (int32_t)i;
+        }
+    }
+    memcpy(aq_end, uq.a, M * sizeof(int32_t));
+    memcpy(bq_end, uq.b, M * sizeof(int32_t));
+    rc = nout;
+done:
+    free(offp); free(offr); free(yp); free(x); free(yq); free(runbuf);
+    free(ap); free(tmp); free(ones); free(dones); free(xp);
+    free(aL); free(aR); free(wL); free(wR);
+    free(ar); free(rbinv); free(yr);
+    sweep_cur_free(&uq);
+    for (long j = 0; j < n_sparse; ++j) sweep_cur_free(&uqq[j]);
+    free(uqq);
+    return rc;
+}

@@ -28,30 +28,36 @@ def phase_compare(p: PBWT, q: PBWT) -> None:
     n_switch = n_het = n_switch1 = n_switch5 = 0
     n_switch_sample = np.zeros(M // 2, dtype=np.int64)
     n_switch_site = np.zeros(N, dtype=np.int64)
-    is_first = np.ones(M, dtype=bool)
-    is_flipped = np.zeros(M, dtype=np.int64)
-    last_flip = np.zeros(M, dtype=np.int64)
-    k_het = np.zeros(M, dtype=np.int64)
+    # vectorised over pairs per site (state is sequential in k only)
+    is_first = np.ones(M // 2, dtype=bool)
+    is_flipped = np.zeros(M // 2, dtype=np.int64)
+    last_flip = np.zeros(M // 2, dtype=np.int64)
+    k_het = np.zeros(M // 2, dtype=np.int64)
+    Xp0, Xp1 = Xp[0::2], Xp[1::2]
+    Xq0, Xq1 = Xq[0::2], Xq[1::2]
     for k in range(N):
-        xp = Xp[:, k]
-        xq = Xq[:, k]
-        for i in range(0, M, 2):
-            if xp[i] + xp[i + 1] == 1:
-                n_het += 1
-                k_het[i] += 1
-                if is_first[i]:
-                    is_first[i] = False
-                    is_flipped[i] = 1 if xp[i] == xq[i + 1] else 0
-                elif xp[i] != xq[i + is_flipped[i]]:
-                    n_switch += 1
-                    n_switch_sample[i // 2] += 1
-                    n_switch_site[k] += 1
-                    if k_het[i] - last_flip[i] > 1:
-                        n_switch1 += 1
-                    if k_het[i] - last_flip[i] > 5:
-                        n_switch5 += 1
-                    is_flipped[i] = 1 - is_flipped[i]
-                    last_flip[i] = k_het[i]
+        xp0 = Xp0[:, k]
+        het = (xp0.astype(np.int64) + Xp1[:, k]) == 1
+        if not het.any():
+            continue
+        n_het += int(het.sum())
+        k_het[het] += 1
+        first = het & is_first
+        is_first[first] = False
+        is_flipped[first] = (xp0[first] == Xq1[first, k])
+        rest = het & ~first
+        xq_sel = np.where(is_flipped == 1, Xq1[:, k], Xq0[:, k])
+        sw = rest & (xp0 != xq_sel)
+        nsw = int(sw.sum())
+        if nsw:
+            n_switch += nsw
+            n_switch_sample[sw] += 1
+            n_switch_site[k] = nsw
+            gap = k_het[sw] - last_flip[sw]
+            n_switch1 += int((gap > 1).sum())
+            n_switch5 += int((gap > 5).sum())
+            is_flipped[sw] = 1 - is_flipped[sw]
+            last_flip[sw] = k_het[sw]
     m_fac = 2.0 / M
     log(f"{m_fac * n_switch:.1f} switches per sample, "
         f"{n_switch / n_het if n_het else 0.0:.3f} per het, "
@@ -127,6 +133,29 @@ def phase_sweep(p: PBWT, ref: PBWT | None, is_start: bool,
     M, N = p.M, p.N
     if ref is not None and p.M > ref.M:
         raise ValueError("phaseSweep requires ref->M >= p->M")
+
+    if (ref is None and p.yz and native.get_lib() is not None
+            and (r is None or (r.yz and r.aFend is not None
+                               and r.aRend is not None))):
+        # one streaming C pass for the whole sweep (phase_sweep_core);
+        # pinned against the python path below by tests
+        ap0 = ((p.aFstart if p.aFstart is not None
+                else np.arange(M, dtype=np.int32)) if is_start else p.aFend)
+        if ap0 is not None:
+            thresh = 2 * (n_sparse + (2 if r is not None else 1)) + 0.5
+            res = native.phase_sweep_core(
+                p.yz, M, N, ap0, is_start,
+                r.yz if r is not None else None,
+                r.aFend if r is not None else None,
+                r.aRend if r is not None else None,
+                r.aFend if r is not None else None,
+                n_sparse, score_bit, thresh)
+            if res is not None:
+                q = PBWT(M, N)
+                if r is not None:
+                    q.aFstart = r.aFend.copy()
+                q.yz, q.aFend, q.aRend = res
+                return q
 
     Y = p.decoded(True)
     # forward/backward reader over p

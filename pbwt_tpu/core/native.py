@@ -152,6 +152,10 @@ def get_lib():
                                     i64p]
     lib.ref_phase4_heap.restype = None
     lib.ref_phase4_heap.argtypes = [i32p, u8p]
+    lib.phase_sweep_core.restype = L
+    lib.phase_sweep_core.argtypes = [u8p, L, L, L, i32p, L, u8p, L, i32p,
+                                     i32p, L, i32p, L, f64p,
+                                     ctypes.c_double, u8p, L, i32p, i32p]
     _lib = lib
     return _lib
 
@@ -246,6 +250,41 @@ def build_pbwt_chunk(cols: np.ndarray, a: np.ndarray):
     if n > cap:
         raise AssertionError("pack3 chunk overflowed its worst-case bound")
     return yz[:n].tobytes()
+
+
+def phase_sweep_core(yzp: bytes, M: int, N: int, ap0: np.ndarray,
+                     is_start: bool, r_yz: bytes | None, ar0, rbinv0,
+                     aq0, n_sparse: int, score_bit: np.ndarray,
+                     thresh: float):
+    """One whole phaseSweep pass (pbwtImpute.c:288-372) in C.
+
+    Returns (yz bytes, aq_end, bq_end) or None when the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    zp = np.frombuffer(bytes(yzp), np.uint8)
+    zr = np.frombuffer(bytes(r_yz) if r_yz else b"\x00", np.uint8)
+    dummy = np.zeros(1, np.int32)
+    ap0 = np.ascontiguousarray(ap0, np.int32)
+    ar0 = (np.ascontiguousarray(ar0, np.int32) if ar0 is not None
+           else dummy)
+    rbinv0 = (np.ascontiguousarray(rbinv0, np.int32) if rbinv0 is not None
+              else dummy)
+    aq0 = (np.ascontiguousarray(aq0, np.int32) if aq0 is not None
+           else np.arange(M, dtype=np.int32))
+    cap = N * (M + 8) + 16
+    yz = pooled(cap, "phase_sweep_yz")
+    aq_end = np.empty(M, np.int32)
+    bq_end = np.empty(M, np.int32)
+    n = lib.phase_sweep_core(
+        zp, len(zp), M, N, ap0, 1 if is_start else 0,
+        zr, len(zr), ar0, rbinv0, 1 if r_yz else 0,
+        aq0, n_sparse, np.ascontiguousarray(score_bit, np.float64),
+        float(thresh), yz, cap, aq_end, bq_end)
+    if n < 0:
+        raise ValueError("phase_sweep_core: corrupt stream or overflow")
+    return yz[:n].tobytes(), aq_end, bq_end
 
 
 def ref_phase4_core(yzold: bytes, Mold: int, yzref: bytes, Mref: int,

@@ -91,6 +91,17 @@ class PBWT:
     def haplotypes(self) -> np.ndarray:
         """(M, N) natural-order haplotype matrix (pbwtHaplotypes)."""
         a0 = self.aFstart if self.aFstart is not None else np.arange(self.M, dtype=np.int32)
+        if self.yz:
+            from . import native
+            lib = native.get_lib()
+            if lib is not None:
+                # one streaming C pass straight off the pack3 bytes + a
+                # C transpose (skips decoding the sorted matrix entirely)
+                Xc, _, _ = native.natural_cols(self.yz, self.N, self.M, a0)
+                X = np.empty((self.M, self.N), np.uint8)
+                lib.transpose_u8(Xc.reshape(-1), self.N, self.M,
+                                 X.reshape(-1))
+                return X
         return engine.haplotypes_from_packed(self.decoded(True), a0)
 
     def stream_sorted(self, block: int = 1024):
