@@ -2062,3 +2062,185 @@ done:
     free(uqq);
     return rc;
 }
+
+/* ------------------------------------------------------------------ */
+/* corruption / simulation (pbwtImpute.c:1492-1619)                     */
+/* ------------------------------------------------------------------ */
+
+/* glibc rand() TYPE_3 stream (unseeded == srand(1)); one process-global
+   state shared by the corruption cores and python's crand module so the
+   draw sequence matches the reference binary exactly across a pipeline */
+static uint32_t cr_t[31];
+static int cr_f = 3, cr_r = 0, cr_ready = 0;
+
+EXPORT void crand_srand(uint32_t seed)
+{
+    if (seed == 0) seed = 1;
+    cr_t[0] = seed;
+    int32_t word = (int32_t)seed;
+    for (int i = 1; i < 31; ++i) {
+        int32_t hi = word / 127773, lo = word % 127773;
+        word = 16807 * lo - 2836 * hi;
+        if (word < 0) word += 2147483647;
+        cr_t[i] = (uint32_t)word;
+    }
+    cr_f = 3; cr_r = 0; cr_ready = 1;
+    for (int i = 0; i < 310; ++i) {
+        uint32_t v = cr_t[cr_f] += cr_t[cr_r];
+        (void)v;
+        if (++cr_f == 31) cr_f = 0;
+        if (++cr_r == 31) cr_r = 0;
+    }
+}
+
+EXPORT long crand_next(void)
+{
+    if (!cr_ready) crand_srand(1);
+    uint32_t v = cr_t[cr_f] += cr_t[cr_r];
+    if (++cr_f == 31) cr_f = 0;
+    if (++cr_r == 31) cr_r = 0;
+    return (long)(v >> 1);
+}
+
+/* pbwtCorruptSites (pbwtImpute.c:1492-1537): corruption applied at
+   positions in the NEW cursor's sort order. Returns n_change or -1. */
+EXPORT long corrupt_sites_core(const uint8_t *yzold, long nzold,
+                               long M, long N, const int32_t *aold0,
+                               long r_site, long r_change, double r_fac,
+                               uint8_t *yz, long cap,
+                               int32_t *anew_end, int64_t *lens)
+{
+    if (!p3dec_ready) p3dec_init();
+    uint8_t *ys = (uint8_t *)malloc(M), *x = (uint8_t *)malloc(M);
+    uint8_t *y = (uint8_t *)malloc(M), *runbuf = (uint8_t *)malloc(M + 8);
+    int32_t *ao = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *an = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    memcpy(ao, aold0, M * sizeof(int32_t));
+    for (long i = 0; i < M; ++i) an[i] = (int32_t)i;
+    long pos = 0, nout = 0, n_change = 0, rc = -1;
+    for (long k = 0; k < N; ++k) {
+        pos = p3_col_at(yzold, nzold, pos, M, ys);
+        if (pos < 0) goto done;
+        long c = 0;
+        for (long i = 0; i < M; ++i) c += (ys[i] == 0);
+        for (long i = 0; i < M; ++i) x[ao[i]] = ys[i];
+        for (long i = 0; i < M; ++i) y[i] = x[an[i]];
+        if (crand_next() < r_site) {
+            double thresh = c * r_fac;
+            for (long i = 0; i < M; ++i)
+                if (crand_next() < r_change) {
+                    uint8_t old = y[i];
+                    y[i] = crand_next() < thresh ? 0 : 1;
+                    if (y[i] != old) ++n_change;
+                }
+        }
+        long nb = p3_encode(y, M, runbuf);
+        if (nout + nb > cap) goto done;
+        memcpy(yz + nout, runbuf, nb);
+        nout += nb;
+        fwd_a(an, y, ones, M);
+        fwd_a(ao, ys, ones, M);
+    }
+    memcpy(anew_end, an, M * sizeof(int32_t));
+    lens[0] = nout;
+    rc = n_change;
+done:
+    free(ys); free(x); free(y); free(runbuf);
+    free(ao); free(an); free(ones);
+    return rc;
+}
+
+/* pbwtCorruptSamples (pbwtImpute.c:1539-1584): isCorrupt[] indexed by
+   sort-order position, as the reference does. */
+EXPORT long corrupt_samples_core(const uint8_t *yzold, long nzold,
+                                 long M, long N, const int32_t *aold0,
+                                 long r_sample, long r_change, double r_fac,
+                                 uint8_t *yz, long cap,
+                                 int32_t *anew_end, int64_t *lens)
+{
+    if (!p3dec_ready) p3dec_init();
+    uint8_t *ys = (uint8_t *)malloc(M), *x = (uint8_t *)malloc(M);
+    uint8_t *y = (uint8_t *)malloc(M), *runbuf = (uint8_t *)malloc(M + 8);
+    uint8_t *isc = (uint8_t *)malloc(M);
+    int32_t *ao = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *an = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    memcpy(ao, aold0, M * sizeof(int32_t));
+    for (long i = 0; i < M; ++i) an[i] = (int32_t)i;
+    for (long i = 0; i < M; ++i) isc[i] = crand_next() < r_sample;
+    long pos = 0, nout = 0, n_change = 0, rc = -1;
+    for (long k = 0; k < N; ++k) {
+        pos = p3_col_at(yzold, nzold, pos, M, ys);
+        if (pos < 0) goto done;
+        long c = 0;
+        for (long i = 0; i < M; ++i) c += (ys[i] == 0);
+        for (long i = 0; i < M; ++i) x[ao[i]] = ys[i];
+        for (long i = 0; i < M; ++i) y[i] = x[an[i]];
+        double thresh = c * r_fac;
+        for (long i = 0; i < M; ++i)
+            if (isc[i] && crand_next() < r_change) {
+                uint8_t v = crand_next() < thresh ? 0 : 1;
+                if (v != y[i]) ++n_change;
+                y[i] = v;
+            }
+        long nb = p3_encode(y, M, runbuf);
+        if (nout + nb > cap) goto done;
+        memcpy(yz + nout, runbuf, nb);
+        nout += nb;
+        fwd_a(an, y, ones, M);
+        fwd_a(ao, ys, ones, M);
+    }
+    memcpy(anew_end, an, M * sizeof(int32_t));
+    lens[0] = nout;
+    rc = n_change;
+done:
+    free(ys); free(x); free(y); free(runbuf); free(isc);
+    free(ao); free(an); free(ones);
+    return rc;
+}
+
+/* pbwtCopySamples (pbwtImpute.c:1586-1619): Li-Stephens mosaic
+   simulator; copy[] switched by sort-order position but read through
+   copy[aNew[j]], reproducing the reference's own inconsistency. */
+EXPORT long copy_samples_core(const uint8_t *yzold, long nzold,
+                              long Mold, long N, const int32_t *aold0,
+                              long Mnew, long r_switch,
+                              uint8_t *yz, long cap,
+                              int32_t *anew_end, int64_t *lens)
+{
+    if (!p3dec_ready) p3dec_init();
+    uint8_t *ys = (uint8_t *)malloc(Mold), *x = (uint8_t *)malloc(Mold);
+    uint8_t *y = (uint8_t *)malloc(Mnew);
+    uint8_t *runbuf = (uint8_t *)malloc(Mnew + 8);
+    int32_t *ao = (int32_t *)malloc(Mold * sizeof(int32_t));
+    int32_t *an = (int32_t *)malloc(Mnew * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc((Mold > Mnew ? Mold : Mnew)
+                                      * sizeof(int32_t));
+    int64_t *copy = (int64_t *)malloc(Mnew * sizeof(int64_t));
+    memcpy(ao, aold0, Mold * sizeof(int32_t));
+    for (long i = 0; i < Mnew; ++i) an[i] = (int32_t)i;
+    for (long i = 0; i < Mnew; ++i) copy[i] = crand_next() % Mold;
+    long pos = 0, nout = 0, rc = -1;
+    for (long k = 0; k < N; ++k) {
+        pos = p3_col_at(yzold, nzold, pos, Mold, ys);
+        if (pos < 0) goto done;
+        for (long i = 0; i < Mold; ++i) x[ao[i]] = ys[i];
+        for (long j = 0; j < Mnew; ++j)
+            if (crand_next() < r_switch) copy[j] = crand_next() % Mold;
+        for (long j = 0; j < Mnew; ++j) y[j] = x[copy[an[j]]];
+        long nb = p3_encode(y, Mnew, runbuf);
+        if (nout + nb > cap) goto done;
+        memcpy(yz + nout, runbuf, nb);
+        nout += nb;
+        fwd_a(an, y, ones, Mnew);
+        fwd_a(ao, ys, ones, Mold);
+    }
+    memcpy(anew_end, an, Mnew * sizeof(int32_t));
+    lens[0] = nout;
+    rc = 0;
+done:
+    free(ys); free(x); free(y); free(runbuf);
+    free(ao); free(an); free(ones); free(copy);
+    return rc;
+}

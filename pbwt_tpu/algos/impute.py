@@ -8,7 +8,7 @@ import sys
 
 import numpy as np
 
-from ..core import crand, engine, pack3 as p3, registry
+from ..core import crand, engine, native, pack3 as p3, registry
 from ..core.pbwt import PBWT
 from ..utils import log, time_update
 from . import match as matchmod
@@ -756,6 +756,19 @@ def corrupt_sites(p_old: PBWT, p_site: float, p_change: float) -> PBWT:
     r_site = int(p_site * crand.RAND_MAX)
     r_change = int(p_change * crand.RAND_MAX)
     r_fac = crand.RAND_MAX / M
+    a0 = (p_old.aFstart if p_old.aFstart is not None
+          else np.arange(M, dtype=np.int32))
+    res = native.corrupt_sites_core(p_old.yz, M, N, a0,
+                                    r_site, r_change, r_fac)
+    if res is not None:
+        p_new = PBWT(M, N)
+        p_new.yz, p_new.aFend, n_change = res
+        p_new.sites = p_old.sites
+        p_new.chrom = p_old.chrom
+        p_new.samples = p_old.samples
+        log(f"corruptSites with pSite {p_site:f}, pChange {p_change:f} "
+            f"changes {n_change / (N * M):.4f} of values")
+        return p_new
     u_old = engine.ReadCursor.create(p_old, True, True)
     u_new = engine.WriteCursor(M)
     n_change = 0
@@ -792,6 +805,19 @@ def corrupt_samples(p_old: PBWT, p_sample: float, p_change: float) -> PBWT:
     r_sample = int(p_sample * crand.RAND_MAX)
     r_change = int(p_change * crand.RAND_MAX)
     r_fac = crand.RAND_MAX / M
+    a0 = (p_old.aFstart if p_old.aFstart is not None
+          else np.arange(M, dtype=np.int32))
+    res = native.corrupt_samples_core(p_old.yz, M, N, a0,
+                                      r_sample, r_change, r_fac)
+    if res is not None:
+        p_new = PBWT(M, N)
+        p_new.yz, p_new.aFend, n_change = res
+        p_new.sites = p_old.sites
+        p_new.chrom = p_old.chrom
+        p_new.samples = p_old.samples
+        log(f"corruptSamples with pSample {p_sample:f}, pChange "
+            f"{p_change:f} changes {n_change / (N * M):.4f} of values")
+        return p_new
     u_old = engine.ReadCursor.create(p_old, True, True)
     u_new = engine.WriteCursor(M)
     is_corrupt = [rnd() < r_sample for _ in range(M)]
@@ -829,6 +855,18 @@ def copy_samples(p_old: PBWT, m_new: int, mean_length: float) -> PBWT:
     M_old, N = p_old.M, p_old.N
     rnd = crand.rand
     r_switch = int(crand.RAND_MAX / mean_length)
+    a0 = (p_old.aFstart if p_old.aFstart is not None
+          else np.arange(M_old, dtype=np.int32))
+    res = native.copy_samples_core(p_old.yz, M_old, N, a0, m_new, r_switch)
+    if res is not None:
+        p_new = PBWT(m_new, N)
+        p_new.yz, p_new.aFend, _ = res
+        p_new.sites = p_old.sites
+        p_new.chrom = p_old.chrom
+        p_new.samples = p_old.samples
+        log(f"copySamples made {m_new} samples with mean switch length "
+            f"{mean_length:.1f}")
+        return p_new
     u_old = engine.ReadCursor.create(p_old, True, True)
     u_new = engine.WriteCursor(m_new)
     copy = np.array([rnd() % M_old for _ in range(m_new)], dtype=np.int64)

@@ -156,6 +156,20 @@ def get_lib():
     lib.phase_sweep_core.argtypes = [u8p, L, L, L, i32p, L, u8p, L, i32p,
                                      i32p, L, i32p, L, f64p,
                                      ctypes.c_double, u8p, L, i32p, i32p]
+    lib.crand_srand.restype = None
+    lib.crand_srand.argtypes = [ctypes.c_uint32]
+    lib.crand_next.restype = L
+    lib.crand_next.argtypes = []
+    lib.corrupt_sites_core.restype = L
+    lib.corrupt_sites_core.argtypes = [u8p, L, L, L, i32p, L, L,
+                                       ctypes.c_double, u8p, L, i32p, i64p]
+    lib.corrupt_samples_core.restype = L
+    lib.corrupt_samples_core.argtypes = [u8p, L, L, L, i32p, L, L,
+                                         ctypes.c_double, u8p, L, i32p,
+                                         i64p]
+    lib.copy_samples_core.restype = L
+    lib.copy_samples_core.argtypes = [u8p, L, L, L, i32p, L, L, u8p, L,
+                                      i32p, i64p]
     _lib = lib
     return _lib
 
@@ -250,6 +264,43 @@ def build_pbwt_chunk(cols: np.ndarray, a: np.ndarray):
     if n > cap:
         raise AssertionError("pack3 chunk overflowed its worst-case bound")
     return yz[:n].tobytes()
+
+
+def _corrupt_call(fn_name, yzold: bytes, M: int, N: int, a0: np.ndarray,
+                  args: tuple, M_new: int | None = None):
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.frombuffer(bytes(yzold), np.uint8)
+    Mout = M_new if M_new is not None else M
+    cap = N * (Mout + 8) + 16
+    yz = pooled(cap, "corrupt_yz")
+    a_end = np.empty(Mout, np.int32)
+    lens = np.empty(1, np.int64)
+    rc = getattr(lib, fn_name)(z, len(z), M, N,
+                               np.ascontiguousarray(a0, np.int32),
+                               *args, yz, cap, a_end, lens)
+    if rc < 0:
+        raise ValueError(f"{fn_name}: corrupt stream or overflow")
+    return yz[:lens[0]].tobytes(), a_end, int(rc)
+
+
+def corrupt_sites_core(yzold, M, N, a0, r_site, r_change, r_fac):
+    """pbwtCorruptSites streaming core; (yz, a_end, n_change) or None."""
+    return _corrupt_call("corrupt_sites_core", yzold, M, N, a0,
+                         (r_site, r_change, float(r_fac)))
+
+
+def corrupt_samples_core(yzold, M, N, a0, r_sample, r_change, r_fac):
+    """pbwtCorruptSamples streaming core; (yz, a_end, n_change) or None."""
+    return _corrupt_call("corrupt_samples_core", yzold, M, N, a0,
+                         (r_sample, r_change, float(r_fac)))
+
+
+def copy_samples_core(yzold, M_old, N, a0, m_new, r_switch):
+    """pbwtCopySamples streaming core; (yz, a_end, 0) or None."""
+    return _corrupt_call("copy_samples_core", yzold, M_old, N, a0,
+                         (m_new, r_switch), M_new=m_new)
 
 
 def phase_sweep_core(yzp: bytes, M: int, N: int, ap0: np.ndarray,
