@@ -2244,3 +2244,13 @@ done:
     free(ao); free(an); free(ones); free(copy);
     return rc;
 }
+
+/* format a row of doubles as " %.4f"... (the paint table emitters,
+   pbwtPaint.c:164-204 fprintf loop); returns bytes written */
+EXPORT long format_f4_row(const double *v, long n, char *out)
+{
+    long p = 0;
+    for (long i = 0; i < n; ++i)
+        p += sprintf(out + p, " %.4f", v[i]);
+    return p;
+}

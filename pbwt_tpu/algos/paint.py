@@ -265,17 +265,25 @@ def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
             f.write(f" IND{i + 1}")
     for f in (fc, fl, fc2, fc3):
         f.write("\n")
+    fmt = native.format_f4_row if lib is not None else None
     for i in range(n_inds):
         fc3.write(f"IND{i + 1} {nregions[i]:.2f}")
         fc2.write(f"IND{i + 1} {nregions[i]:.2f}")
         fl.write(f"IND{i + 1}")
         fc.write(f"IND{i + 1}")
-        for j in range(n_inds):
-            fc.write(f" {counts[i][j]:.4f}")
-            fl.write(f" {totlengths[i][j]:.4f}")
-            fc2.write(f" {counts2[i][j]:.4f}")
-            fc3.write(f" {counts3[i][j]:.4f}")
-            tot_counts[i] += counts[i][j]
+        if fmt is not None:
+            fc.write(fmt(counts[i]))
+            fl.write(fmt(totlengths[i]))
+            fc2.write(fmt(counts2[i]))
+            fc3.write(fmt(counts3[i]))
+            tot_counts[i] += counts[i].sum()
+        else:
+            for j in range(n_inds):
+                fc.write(f" {counts[i][j]:.4f}")
+                fl.write(f" {totlengths[i][j]:.4f}")
+                fc2.write(f" {counts2[i][j]:.4f}")
+                fc3.write(f" {counts3[i][j]:.4f}")
+                tot_counts[i] += counts[i][j]
         for f in (fc, fl, fc2, fc3):
             f.write("\n")
     for f in (fc, fl, fc2, fc3):

@@ -170,6 +170,8 @@ def get_lib():
     lib.copy_samples_core.restype = L
     lib.copy_samples_core.argtypes = [u8p, L, L, L, i32p, L, L, u8p, L,
                                       i32p, i64p]
+    lib.format_f4_row.restype = L
+    lib.format_f4_row.argtypes = [f64p, L, ctypes.c_char_p]
     _lib = lib
     return _lib
 
@@ -360,6 +362,18 @@ def ref_phase4_core(yzold: bytes, Mold: int, yzref: bytes, Mref: int,
     value = np.empty(n, np.uint8)
     lib.ref_phase4_heap(parent, value)
     return tb, parent, value
+
+
+def format_f4_row(vals: np.ndarray):
+    """One table row as ' %.4f' per value (glibc printf semantics, like
+    the reference's fprintf loops), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.float64)
+    buf = ctypes.create_string_buffer(16 * len(vals) + 16)
+    n = lib.format_f4_row(vals, len(vals), buf)
+    return buf.raw[:n].decode()
 
 
 def pack_advance(y: np.ndarray, a: np.ndarray):
