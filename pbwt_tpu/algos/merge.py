@@ -28,7 +28,7 @@ def merge(filenames: list[str]) -> PBWT:
 
     vd = registry.variation_dict
     keys = [[(s.x, vd.name(s.varD)) for s in p.sites] for p in pbwts]
-    ptr = [0] * len(pbwts)
+    n = len(pbwts)
     nhaps = sum(p.M for p in pbwts)
 
     out = PBWT(nhaps, 0)
@@ -38,20 +38,58 @@ def merge(filenames: list[str]) -> PBWT:
 
     readers = [_NaturalColumns(p) for p in pbwts]
 
-    while all(ptr[i] < len(keys[i]) for i in range(len(pbwts))):
-        key = min(keys[i][ptr[i]] for i in range(len(pbwts)))
-        if all(keys[i][ptr[i]] == key for i in range(len(pbwts))):
-            yseq = np.concatenate([readers[i].next() for i in range(len(pbwts))])
-            u.write_natural(yseq)
-            out.sites.append(Site(x=key[0], varD=vd.add(key[1])))
-            out.N += 1
-            for i in range(len(pbwts)):
-                ptr[i] += 1
+    # transliteration of the reference's reader advance
+    # (pbwt_reader_next, pbwtMerge.c:78-127): skip every site whose key is
+    # <= the last-emitted (mpos, mals) — duplicate keys within a file
+    # collapse, and the column streams advance one unpack per KEY, not per
+    # site, exactly as the reference's cursors do
+    cpos = [0] * n
+    state = {"mpos": 0, "mals": None}
+
+    def reader_next() -> int:
+        min_pos = None
+        min_als = None
+        for i, p in enumerate(pbwts):
+            j = cpos[i]
+            if j >= p.N:
+                continue
+            x, als = keys[i][j]
+            # NB the loop tests the values from the PREVIOUS iteration's
+            # body, like the reference's stale `site` variable does
+            while (j < p.N and x <= state["mpos"]
+                   and (state["mals"] is None or als <= state["mals"])):
+                x, als = keys[i][j]
+                cpos[i] = j
+                j += 1
+            if (cpos[i] + 1 >= p.N and x == state["mpos"]
+                    and (state["mals"] is None or als == state["mals"])):
+                cpos[i] = p.N          # exhausted on an already-read site
+                continue
+            if cpos[i] < p.N and (min_pos is None or x < min_pos):
+                min_pos, min_als = x, als
+            if x == min_pos and (min_als is None or als < min_als):
+                min_als = als
+        if min_pos is None:
+            state["mpos"], state["mals"] = 0, None
         else:
-            for i in range(len(pbwts)):
-                if keys[i][ptr[i]] == key:
-                    readers[i].next()         # consume the skipped column
-                    ptr[i] += 1
+            state["mpos"], state["mals"] = min_pos, min_als
+        return state["mpos"]
+
+    while reader_next():
+        pos, mals = state["mpos"], state["mals"]
+        shared = all(cpos[i] < pbwts[i].N and keys[i][cpos[i]] == (pos, mals)
+                     for i in range(n))
+        if not shared:
+            # intersection: consume (and discard) the column of readers
+            # positioned on this key
+            for i in range(n):
+                if cpos[i] < pbwts[i].N and keys[i][cpos[i]] == (pos, mals):
+                    readers[i].next()
+            continue
+        yseq = np.concatenate([readers[i].next() for i in range(n)])
+        u.write_natural(yseq)
+        out.sites.append(Site(x=pos, varD=vd.add(mals)))
+        out.N += 1
 
     out.yz = u.packed()
     out.aFend = u.a.copy()

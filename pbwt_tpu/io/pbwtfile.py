@@ -84,7 +84,9 @@ def write_sites(p: PBWT, fp) -> None:
     if p is None or p.sites is None:
         raise ValueError("pbwtWriteSites called without sites")
     vd = registry.variation_dict
-    chrom = p.chrom if p.chrom else "."
+    # NULL chrom prints "."; the empty string (the readMatchChrom EOF
+    # artefact above) prints as itself (pbwtIO.c:69)
+    chrom = p.chrom if p.chrom is not None else "."
     for s in p.sites:
         # unregistered varD prints "(null)" exactly as the reference's
         # printf of a NULL dictName does (e.g. MaCS imports)
@@ -113,6 +115,12 @@ def read_sites_file(fp, chrom: str | None) -> tuple[list[Site], str | None]:
         if len(parts) > 2:
             s.varD = registry.variation_dict.add(parts[2])
         sites.append(s)
+    if chrom is None:
+        # the reference's EOF iteration runs readMatchChrom on the empty
+        # word fgetword returns at end-of-file, which sets a still-unset
+        # chrom to "" (pbwtIO.c:219-230, 241-242) — observable in every
+        # downstream "%s" of p->chrom (sites files, log lines)
+        chrom = ""
     log(f"read {len(sites)} sites on chromosome {chrom} from file")
     return sites, chrom
 

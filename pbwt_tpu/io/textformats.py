@@ -71,6 +71,8 @@ def read_vcfq(fp) -> PBWT:
             _maybe_checkpoint(u, p)
     if p is None:
         raise ValueError("empty vcfq file")
+    if p.chrom is None:
+        p.chrom = ""     # readMatchChrom EOF artefact (pbwtIO.c:219-230)
     if batch:
         from ..ops.build import build_pbwt_device
         X = np.ascontiguousarray(np.stack(cols, axis=1))

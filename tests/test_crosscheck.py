@@ -368,3 +368,34 @@ def test_impute_missing_crosscheck(ref_bin, data_dir, tmp_path):
         args = ["-readAll", f"root_{tag}", "-imputeMissing", "-haps", "-"]
         assert run_ref(ref_bin, args, str(tmp_path)) \
             == run_ours(args, str(tmp_path)), tag
+
+
+def test_merge_duplicate_positions_crosscheck(ref_bin, data_dir, tmp_path):
+    """Merge semantics with duplicate (pos, allele) keys: the reference's
+    reader advance collapses duplicates and consumes one column per KEY
+    (pbwtMerge.c:78-127) — byte-compare .pbwt and .sites.  Also pins the
+    readMatchChrom EOF artefact: a '.'-chromosome sites file round-trips
+    to an EMPTY chrom column, not '.'."""
+    rng = np.random.RandomState(23)
+    M, N = 40, 60
+    X = (rng.random_sample((M, N)) < 0.4).astype(np.uint8)
+    pos = np.sort(rng.randint(1, 30, size=N))          # many duplicates
+    with open(tmp_path / "dup.macs", "w") as f:
+        f.write(f"COMMAND:\tmacs {M} 100\nSEED:\t1\n")
+        for k in range(N):
+            f.write(f"SITE:\t{k}\t{pos[k] / 100:.6f}\t0.5\t"
+                    + "".join("01"[v] for v in X[:, k]) + "\n")
+    for tool, tag in ((lambda a: run_ref(ref_bin, a, str(tmp_path)), "r"),
+                      (lambda a: run_ours(a, str(tmp_path)), "o")):
+        tool(["-readMacs", "dup.macs", "-subsample", "0", "20",
+              "-writeAll", f"{tag}_a"])
+        tool(["-readMacs", "dup.macs", "-subsample", "20", "20",
+              "-writeAll", f"{tag}_b"])
+        tool(["-merge", f"{tag}_a.pbwt", f"{tag}_b.pbwt",
+              "-writeAll", f"{tag}_m"])
+    for sfx in ("pbwt", "sites"):
+        assert ((tmp_path / f"r_m.{sfx}").read_bytes()
+                == (tmp_path / f"o_m.{sfx}").read_bytes()), sfx
+    # chrom EOF artefact through a readAll round trip
+    a = ["-readAll", "r_a", "-writeSites", "-"]
+    assert run_ref(ref_bin, a, str(tmp_path)) == run_ours(a, str(tmp_path))
