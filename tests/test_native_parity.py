@@ -201,3 +201,71 @@ def test_reference_phase4_core_parity():
             native._lib, native._tried = saved_lib, saved_tried
         assert pc.yz == pp.yz, f"seed {seed}"
         assert np.array_equal(pc.haplotypes(), pp.haplotypes()), f"seed {seed}"
+
+
+def test_phase_sweep_core_parity():
+    """phase() through the C sweep core == the python sweep, across
+    shapes including tiny panels and n_sparse > N."""
+    from pbwt_tpu.algos import phase as ph
+
+    for seed, M, N, nsp in [(21, 4, 6, 2), (22, 30, 50, 4),
+                            (23, 2, 1, 8), (24, 16, 3, 5)]:
+        X = mosaic(seed, M, N, founders=max(2, M // 4))
+        pc = ph.phase(_mk(X), nsp)
+        saved_lib, saved_tried = native._lib, native._tried
+        try:
+            native._lib = None
+            native._tried = True
+            pp = ph.phase(_mk(X), nsp)
+        finally:
+            native._lib, native._tried = saved_lib, saved_tried
+        assert pc.yz == pp.yz, (seed, M, N, nsp)
+        assert np.array_equal(pc.haplotypes(), pp.haplotypes())
+
+
+def test_impute_vote_emit_no_segments():
+    """Fused impute core with an empty segment set: every entry falls
+    back to the frequency vote, matching the numpy path."""
+    from pbwt_tpu.algos import impute as impmod
+
+    Xref = mosaic(31, 20, 24)
+    Xq = 1 - Xref[:4]                      # nothing matches
+    p_ref = _mk(Xref)
+    p_frame = _mk(Xref)
+    p_old = _mk(Xq)
+    pc = impmod.reference_impute3(p_old, p_ref, p_frame)
+    saved_lib, saved_tried = native._lib, native._tried
+    try:
+        native._lib = None
+        native._tried = True
+        pp = impmod.reference_impute3(_mk(Xq), _mk(Xref), _mk(Xref))
+    finally:
+        native._lib, native._tried = saved_lib, saved_tried
+    assert pc.yz == pp.yz
+    assert pc.zDosage == pp.zDosage
+
+
+def test_corrupt_cores_parity():
+    """corruptSites/corruptSamples/copySamples C cores == the python
+    loops drawing from an identically-seeded stream."""
+    from pbwt_tpu.algos import impute as impmod
+    from pbwt_tpu.core import crand
+
+    X = mosaic(41, 14, 30)
+
+    def run_all():
+        crand.reset(1)
+        a = impmod.corrupt_sites(_mk(X), 0.7, 0.5)
+        b = impmod.corrupt_samples(_mk(X), 0.5, 0.5)
+        c = impmod.copy_samples(_mk(X), 9, 10.0)
+        return a.yz, b.yz, c.yz
+
+    got = run_all()
+    saved_lib, saved_tried = native._lib, native._tried
+    try:
+        native._lib = None
+        native._tried = True
+        want = run_all()
+    finally:
+        native._lib, native._tried = saved_lib, saved_tried
+    assert got == want
