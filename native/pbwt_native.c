@@ -2254,3 +2254,68 @@ EXPORT long format_f4_row(const double *v, long n, char *out)
         p += sprintf(out + p, " %.4f", v[i]);
     return p;
 }
+
+/* ------------------------------------------------------------------ */
+/* multi-PBWT merge core (pbwtMerge.c:129-208)                          */
+/* ------------------------------------------------------------------ */
+
+/* One streaming pass over nf pack3 inputs.  The site-level key walk
+   (duplicate collapse, intersection — pbwt_reader_next,
+   pbwtMerge.c:78-127) runs in Python over the sites lists; this core
+   receives, per file, the action stream over its CONSUMED columns in
+   order: 1 = the column belongs to an emitted shared site, 0 = discard
+   (cursor advance only).  Every file has exactly n_emit action-1
+   entries, in the same order as the output sites.  a_all holds each
+   file's starting prefix array (aFstart or identity), consumed/updated
+   in place; a_out is the output prefix array (identity-seeded by the
+   caller), left at aFend.  Emits pack3 bytes of the merged PBWT
+   (cap-bounded; returns needed bytes, or -1 on malloc/stream failure). */
+EXPORT long merge_core(long nf,
+                       const uint8_t *yz_all, const int64_t *nz_off,
+                       const int64_t *Ms, const int64_t *a_off,
+                       const uint8_t *act_all, const int64_t *act_off,
+                       int32_t *a_all, long n_emit,
+                       int32_t *a_out, uint8_t *yz_out, long cap)
+{
+    long Mtot = 0;
+    for (long f = 0; f < nf; ++f) Mtot += Ms[f];
+    colsrc *cs = (colsrc *)malloc(nf * sizeof(colsrc));
+    long *cpos = (long *)calloc(nf, sizeof(long));
+    uint8_t *ynat = (uint8_t *)malloc(Mtot);
+    uint8_t *yb = (uint8_t *)malloc(Mtot);
+    int32_t *ones = (int32_t *)malloc(Mtot * sizeof(int32_t));
+    uint8_t *runbuf = (uint8_t *)malloc(Mtot + 8);
+    long nout = 0, rc = -1, nopen = 0;
+    if (!cs || !cpos || !ynat || !yb || !ones || !runbuf) goto done;
+    for (long f = 0; f < nf; ++f, ++nopen)
+        if (!cs_packed(&cs[f], yz_all + nz_off[f],
+                       nz_off[f + 1] - nz_off[f], Ms[f])) goto done;
+    for (long e = 0; e < n_emit; ++e) {
+        long off = 0;
+        for (long f = 0; f < nf; ++f) {
+            int32_t *af = a_all + a_off[f];
+            const uint8_t *acts = act_all + act_off[f];
+            const uint8_t *y;
+            while (!acts[cpos[f]]) {            /* discarded keys: advance */
+                if (!(y = cs_next(&cs[f], 0))) goto done;
+                fwd_a(af, y, ones, Ms[f]);
+                cpos[f]++;
+            }
+            if (!(y = cs_next(&cs[f], 0))) goto done;
+            for (long j = 0; j < Ms[f]; ++j) ynat[off + af[j]] = y[j];
+            fwd_a(af, y, ones, Ms[f]);
+            cpos[f]++;
+            off += Ms[f];
+        }
+        for (long j = 0; j < Mtot; ++j) yb[j] = ynat[a_out[j]];
+        long nb = p3_encode(yb, Mtot, runbuf);
+        if (nout + nb <= cap) memcpy(yz_out + nout, runbuf, nb);
+        nout += nb;
+        fwd_a(a_out, yb, ones, Mtot);
+    }
+    rc = nout;
+done:
+    for (long f = 0; f < nopen; ++f) cs_free(&cs[f]);
+    free(cs); free(cpos); free(ynat); free(yb); free(ones); free(runbuf);
+    return rc;
+}
