@@ -229,7 +229,11 @@ def _mxu_gather_plane(plane, idx):
     XLA's 1-D gather on TPU is near-serial (~28 ns/element for int32), so
     K lookups cost ~28*K us; this instead rides the MXU: a one-hot (K, R)
     f32 row-select matmul followed by a masked lane reduce.  Exact because
-    every table value fits a f32 mantissa (Mp <= 2^20 rows, d <= N+2).
+    every table value fits a f32 mantissa (Mp <= 2^20 rows, d <= N+2) AND
+    the matmul runs at Precision.HIGHEST: the TPU MXU's default f32
+    precision is bf16 inputs (8 mantissa bits), which silently rounds any
+    table value >= 2^8 - HIGHEST splits each f32 into 3 bf16 passes and is
+    exact for one-hot x int-valued operands below 2^24.
     """
     K = idx.shape[0]
     R = plane.shape[0]
@@ -239,6 +243,7 @@ def _mxu_gather_plane(plane, idx):
           ).astype(jnp.float32)
     rows = jax.lax.dot_general(oh, plane.astype(jnp.float32),
                                (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
     lm = l[:, None] == jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
     return jnp.sum(jnp.where(lm, rows, 0.0), axis=1).astype(jnp.int32)
@@ -263,8 +268,11 @@ def _mxu_window16(plane, start, Mp):
     rr = jnp.concatenate([r0, jnp.minimum(r0 + 1, R - 1)])
     oh = (rr[:, None] == jax.lax.broadcasted_iota(jnp.int32, (2 * K, R), 1)
           ).astype(jnp.float32)
+    # HIGHEST: default TPU f32 matmuls round inputs to bf16 (see
+    # _mxu_gather_plane) - d values >= 2^8 would be corrupted
     rows = jax.lax.dot_general(oh, plane.astype(jnp.float32),
                                (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
     two = jnp.concatenate([rows[:K], rows[K:]], axis=1)       # (K, 256)
     li = jax.lax.broadcasted_iota(jnp.int32, (K, 256), 1)
@@ -422,9 +430,11 @@ def _site_reset(op, xqf, xpf, NW, Mp):
                ).astype(jnp.float32)
 
         def compact(v):                      # (Q,) -> (qc,) via ohc^T @ v
+            # HIGHEST: e/f/g values exceed bf16's 2^8 integer exactness
             return jax.lax.dot_general(
                 ohc, v.astype(jnp.float32)[:, None],
                 (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
 
         valid = compact(jnp.ones_like(qrows)) > 0
@@ -437,6 +447,7 @@ def _site_reset(op, xqf, xpf, NW, Mp):
             upd = jax.lax.dot_general(
                 ohc, v2.astype(jnp.float32)[:, None],
                 (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
             return jnp.where(collapsed, upd, v)
 

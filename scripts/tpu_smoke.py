@@ -91,6 +91,32 @@ def check_ad_kernel_blocked():
     print(f"PASS blocked divergence kernel == monolithic (R={R}, rb=128)")
 
 
+def check_mxu_exactness():
+    """The MXU one-hot gathers must be exact for values far above bf16's
+    2^8 integer range (the TPU's default f32 matmul precision is bf16;
+    Precision.HIGHEST restores exactness — this is the regression guard
+    for the round-3 matcher corruption)."""
+    import jax.numpy as jnp
+    from pbwt_tpu.ops import match_jax as mj
+    rng = np.random.RandomState(11)
+    R = 64
+    plane = rng.randint(0, 1 << 20, size=(R, 128)).astype(np.int32)
+    idx = rng.randint(0, R * 128, size=96).astype(np.int32)
+    got = np.asarray(mj._mxu_gather_plane(jnp.asarray(plane),
+                                          jnp.asarray(idx)))
+    assert np.array_equal(got, plane.reshape(-1)[idx]), "gather_plane inexact"
+    start = rng.randint(-4, R * 128 - 1, size=96).astype(np.int32)
+    win = np.asarray(mj._mxu_window16(jnp.asarray(plane),
+                                      jnp.asarray(start), R * 128))
+    flat = plane.reshape(-1)
+    for j in range(mj._WD):
+        pos = start + j
+        exp = np.where(pos < 0, flat[0], flat[np.minimum(pos, R * 128 - 1)])
+        valid = pos < R * 128
+        assert np.array_equal(win[valid, j], exp[valid]), f"window16 j={j}"
+    print("PASS MXU one-hot gathers exact at 2^20 values")
+
+
 def check_matcher():
     import jax
     from pbwt_tpu.ops import match_jax as mj
@@ -256,6 +282,7 @@ if __name__ == "__main__":
     check_build()
     check_ad_kernel()
     check_ad_kernel_blocked()
+    check_mxu_exactness()
     check_matcher()
     check_match_dynamic_route()
     check_impute_paint_routes()
