@@ -42,6 +42,37 @@ def test_segment_matcher_equals_portable():
     assert np.array_equal(rows_seg, rows_port)
 
 
+def test_trajectory_matcher_equals_interleaved(monkeypatch):
+    """The standing-panel trajectory path (panel tables precomputed once,
+    match_scan_indexed per query batch) == the interleaved per-segment
+    panel advance: same rows, same order, including reuse of one matcher
+    across several query batches of different Q."""
+    from pbwt_tpu.ops import match_jax
+    rng = np.random.RandomState(9)
+    M, N = 300, 96
+    Xp = mosaic(5, M, N)
+    Xp[11] = Xp[200]
+    def queries(Q, seed):
+        r = np.random.RandomState(seed)
+        Xq = np.empty((Q, N), np.uint8)
+        for q in range(Q):
+            pos = 0
+            while pos < N:
+                seg = r.randint(10, 40)
+                Xq[q, pos:pos + seg] = Xp[r.randint(0, M), pos:pos + seg]
+                pos += seg
+        return Xq
+    m_traj = match_jax.DeviceMatcher(Xp)
+    assert m_traj.traj is not None
+    monkeypatch.setenv("PBWT_TPU_TRAJ_BYTES", "0")
+    m_seg = match_jax.DeviceMatcher(Xp)
+    assert m_seg.traj is None
+    for Q, seed in [(20, 1), (7, 2), (20, 3)]:
+        Xq = queries(Q, seed)
+        assert np.array_equal(np.asarray(m_traj.match(Xq)),
+                              np.asarray(m_seg.match(Xq)))
+
+
 def test_segment_matcher_blocked_kernel(monkeypatch):
     """The block-processed divergence kernel (the M > 512k panel path)
     produces the exact same rows as the monolithic kernel path."""
@@ -61,10 +92,12 @@ def test_segment_matcher_blocked_kernel(monkeypatch):
     monkeypatch.setenv("PBWT_TPU_KERNEL_RMAX", "2")
     monkeypatch.setenv("PBWT_TPU_BLOCK_RB", "8")
     match_jax.match_scan_segment.clear_cache()
+    match_jax.panel_trajectory.clear_cache()
     try:
         rows_blk = np.asarray(match_jax.DeviceMatcher(Xp).match(Xq))
     finally:
         match_jax.match_scan_segment.clear_cache()
+        match_jax.panel_trajectory.clear_cache()
     assert np.array_equal(rows_mono, rows_blk)
 
 
