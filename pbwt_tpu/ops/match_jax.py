@@ -212,8 +212,8 @@ def match_scan(W: jnp.ndarray, query_cols: jnp.ndarray,
 
 
 _WB = 4    # backward-extension window, 32-site words
-_WD = 16   # interval-widening window, rows
-_QC_MIN, _QC_MAX = 16, 128   # compacted reset width bounds (see _site_reset)
+_WW = 113  # interval-widening window, rows (two-row guaranteed span)
+_RC = 128  # reset chunk width (see _site_reset)
 
 
 def _kernel_rmax() -> int:
@@ -251,22 +251,55 @@ def _mxu_gather_plane(plane, idx):
     return jnp.sum(jnp.where(lm, rows, 0.0), axis=1).astype(jnp.int32)
 
 
-def _mxu_window16(plane, start, Mp):
-    """Contiguous window plane[start + j], j = 0.._WD-1, for each lane.
+def _u8_digit_planes(plane_i32):
+    """(R, 128) int32 in [0, 2^24) -> (R, 384) uint8 base-256 digit planes:
+    digit j of row-lane (r, l) lives at [r, 128*j + l]."""
+    return jnp.concatenate([
+        (plane_i32 & 0xFF).astype(jnp.uint8),
+        ((plane_i32 >> 8) & 0xFF).astype(jnp.uint8),
+        ((plane_i32 >> 16) & 0xFF).astype(jnp.uint8)], axis=1)
 
-    start (K,) may stick out of [0, Mp): positions below 0 return
-    plane[0, 0] (what a jnp.clip-then-load would read); positions at or
-    beyond Mp return garbage — callers mask those with their own
-    sentinels.  A 16-wide contiguous window spans at most two 128-lane
-    rows, so this is one (2K, R) one-hot matmul + a 16-step masked lane
-    extraction instead of 16K near-serial gathers.
+
+def _mxu_gather_u8planes(planes, idx):
+    """planes (R, 384) uint8 digit planes; idx (K,) in [0, R*128).
+
+    Single 1-pass bf16 one-hot matmul -> exact int32 values < 2^24.  The
+    one-hot entries (0/1) and every base-256 digit (<= 255) are exactly
+    representable in bf16, and each f32 accumulator sees exactly one
+    nonzero product, so DEFAULT MXU precision is exact here - 6x fewer
+    passes than the HIGHEST-precision int32 gather (_mxu_gather_plane),
+    which matters on the hot FM-step path that runs every site.
+    """
+    K = idx.shape[0]
+    R = planes.shape[0]
+    r = idx >> 7
+    l = idx & 127
+    oh = (r[:, None] == jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
+          ).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(oh, planes.astype(jnp.bfloat16),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (K,384)
+    li = jax.lax.broadcasted_iota(jnp.int32, (K, 384), 1)
+    sel = (li & 127) == l[:, None]
+    w = (jnp.int32(1) << (8 * (li >> 7))).astype(jnp.float32)
+    return jnp.sum(jnp.where(sel, rows * w, 0.0), axis=1).astype(jnp.int32)
+
+
+def _mxu_window_rows(plane, start):
+    """Two-row contiguous window: two[k, l0[k] + t] = plane.flat[start[k]+t]
+    for t >= 0 while start[k] + t stays inside the two fetched rows (span
+    of at least _WW + 15 lanes).  start may stick out of [0, R*128):
+    under-range lanes read row 0 and over-range lanes read the last row -
+    callers mask both with their own sentinels.  Returns (two (K, 256)
+    int32, l0 (K,)).  One (2K, R) one-hot HIGHEST matmul; no per-lane
+    extraction loop (the caller reduces over the 256 lanes directly).
     """
     K = start.shape[0]
     R = plane.shape[0]
     start_eff = jnp.maximum(start, 0)
     under_off = start_eff - start            # >0 iff start < 0
     r0 = jnp.minimum(start_eff >> 7, R - 1)
-    l0 = (start_eff & 127) - under_off       # extraction offset, may be < 0
+    l0 = (start_eff & 127) - under_off       # lane offset, may be < 0
     rr = jnp.concatenate([r0, jnp.minimum(r0 + 1, R - 1)])
     oh = (rr[:, None] == jax.lax.broadcasted_iota(jnp.int32, (2 * K, R), 1)
           ).astype(jnp.float32)
@@ -276,17 +309,8 @@ def _mxu_window16(plane, start, Mp):
                                (((1,), (0,)), ((), ())),
                                precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
-    two = jnp.concatenate([rows[:K], rows[K:]], axis=1)       # (K, 256)
-    li = jax.lax.broadcasted_iota(jnp.int32, (K, 256), 1)
-    out = []
-    for j in range(_WD):
-        sel = li == (l0 + j)[:, None]
-        out.append(jnp.sum(jnp.where(sel, two, 0.0), axis=1))
-    vals = jnp.stack(out, axis=1).astype(jnp.int32)           # (K, _WD)
-    # low-side clip: positions below 0 read plane[0, 0] like jnp.clip would
-    jd = jnp.arange(_WD, dtype=jnp.int32)
-    under = (start[:, None] + jd[None, :]) < 0
-    return jnp.where(under, plane[0, 0], vals)
+    two = jnp.concatenate([rows[:K], rows[K:]], axis=1).astype(jnp.int32)
+    return two, l0
 
 
 def _reset_windowed(op, xqf, xpf, NW, Mp):
@@ -294,9 +318,10 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
 
     Same semantics as the reference's three scalar scans, restructured for
     the VPU/MXU: d/a lookups ride one-hot matmuls (_mxu_gather_plane),
-    widening scans read 16-wide contiguous windows (_mxu_window16), and
-    rare overruns fall into cond-gated while_loops whose bodies run only
-    when some query still needs them.
+    widening scans reduce a two-row contiguous d window with masked
+    max/argmax (_mxu_window_rows, span _WW), and rare overruns fall into
+    cond-gated while_loops whose bodies run only when some query still
+    needs them.
     """
     collapsed, e, f1, g1, dflat, a_new, kk, qrows = op
     d_plane = dflat.reshape(-1, 128)
@@ -337,22 +362,35 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
     pend_bw = active & ~found_w & (w0 - _WB >= 0)
     e1_win = jnp.where(active, jnp.where(found_w, j_w + 1, 0), e1)
 
-    # widen windows computed from the window e1 (lanes whose backward
-    # extension overran the window are re-done in the fallback branch)
-    jd = jnp.arange(_WD, dtype=jnp.int32)
-    # down from fsel while d <= e1 (d[<=0] is the k+2 sentinel); fsel <=
-    # Mp-1 here so only the low side can stick out (plane[0,0] = sentinel)
-    dd = jnp.flip(_mxu_window16(d_plane, fsel - (_WD - 1), Mp), axis=1)
-    stopd = dd > e1_win[:, None]
-    foundd = jnp.any(stopd, axis=1)
-    f_down = fsel - jnp.argmax(stopd, axis=1)
+    # widening scans computed from the window e1 (lanes whose backward
+    # extension overran the window are re-done in the fallback branch);
+    # both reduce one two-row d window per direction with masked
+    # max/argmax over the 256 fetched lanes - no extraction loop
+    K = f1.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (K, 256), 1)
+    # down from fsel while d <= e1: the largest p <= fsel with d[p] > e1.
+    # p = 0 always stops (d[0] is the kk+2 sentinel and e1 <= kk+1), so a
+    # window reaching p = 0 always finds; p < 0 lanes are masked out
+    startd = fsel - (_WW - 1)
+    twod, l0d = _mxu_window_rows(d_plane, startd)
+    t_d = li - l0d[:, None]
+    posd = startd[:, None] + t_d
+    vald = jnp.where(posd <= 0, kk + 2, twod)
+    maskd = ((t_d >= 0) & (posd >= 0) & (posd <= fsel[:, None])
+             & (vald > e1_win[:, None]))
+    foundd = jnp.any(maskd, axis=1)
+    f_down = startd + jnp.max(jnp.where(maskd, li, -1), axis=1) - l0d
     pend_d = collapsed & branch_a & (~foundd | pend_bw)
-    # up from f1+1 while gc < Mp and d[gc] <= e1
-    du = jnp.where(f1[:, None] + 1 + jd[None, :] >= Mp, kk + 2,
-                   _mxu_window16(d_plane, f1 + 1, Mp))
-    stopu = du > e1_win[:, None]
-    foundu = jnp.any(stopu, axis=1)
-    g_up = f1 + 1 + jnp.argmax(stopu, axis=1)
+    # up from f1+1 while gc < Mp and d[gc] <= e1: the first stop position
+    # (p >= Mp reads the kk+2 sentinel, so the walk halts at Mp itself)
+    startu = f1 + 1
+    twou, l0u = _mxu_window_rows(d_plane, startu)
+    t_u = li - l0u[:, None]
+    posu = startu[:, None] + t_u
+    valu = jnp.where(posu >= Mp, kk + 2, twou)
+    masku = (t_u >= 0) & (valu > e1_win[:, None])
+    foundu = jnp.any(masku, axis=1)
+    g_up = startu + jnp.argmax(masku, axis=1) - l0u
     pend_u = collapsed & ~branch_a & (~foundu | pend_bw)
 
     def fallbacks(_):
@@ -411,57 +449,55 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
 
 
 def _site_reset(op, xqf, xpf, NW, Mp):
-    """Reset dispatcher: compact the (typically few) collapsed lanes to a
-    _QC-wide vector so the reset's lookups touch _QC rather than Q lanes;
-    a site with more than _QC collapses falls back to the full-width path.
+    """Reset dispatcher: compact the collapsed lanes into fixed _RC-wide
+    chunks and run the windowed reset once per chunk inside a while_loop,
+    so every reset - whatever the per-site collapse count - executes at
+    the same narrow width.  One traced copy of _reset_windowed (no
+    full-width branch: that branch made XLA compile the production scan
+    in ~10 minutes and cost ~2.7 ms/site whenever a bursty site overflowed
+    a fixed compaction tier).  The typical site needs exactly one chunk.
 
-    Compaction and write-back are (Q, qc) one-hot f32 matmuls rather than
+    Compaction and write-back are (Q, _RC) one-hot f32 matmuls rather than
     scatter/gather (XLA scatter on TPU is near-serial: ~30 ns/element, so
     a Q-wide scatter alone would cost ~Q/30 us per site)."""
     collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
     Q = collapsed.shape[0]
-    # collapses per site scale with Q (bursty); a quarter of the batch,
-    # clamped, keeps the compact path covering ~all sites while its
-    # lookups stay far below full width
-    qc = min(_QC_MAX, max(_QC_MIN, Q // 4))
-    if Q <= qc:
+    if Q <= _RC:
         return _reset_windowed(op, xqf, xpf, NW, Mp)
     pos = jnp.cumsum(collapsed.astype(jnp.int32)) - 1
-    ncol = pos[-1] + 1
+    nchunk = (pos[-1] + _RC) // _RC          # ceil(ncol / _RC)
+    rc_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, _RC), 1)
+    cpos = jnp.where(collapsed, pos, -1)
+    ones = jnp.ones_like(qrows)
 
-    def compact_path(op):
-        collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
-        # one-hot (Q, qc): query q occupies compact lane pos[q] if collapsed
-        ohc = (jnp.where(collapsed, pos, -1)[:, None] ==
-               jax.lax.broadcasted_iota(jnp.int32, (Q, qc), 1)
-               ).astype(jnp.float32)
-
-        def compact(v):                      # (Q,) -> (qc,) via ohc^T @ v
-            # HIGHEST: e/f/g values exceed bf16's 2^8 integer exactness
-            return jax.lax.dot_general(
-                ohc, v.astype(jnp.float32)[:, None],
-                (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
-
-        valid = compact(jnp.ones_like(qrows)) > 0
-        lane = compact(qrows)                # empty lanes -> 0: masked below
-        e_c, f_c, g_c = compact(e), compact(f1), compact(g1)
+    def body(st):
+        t, e, f, g = st
+        base = t * _RC
+        # one-hot (Q, _RC): query q owns compact lane pos[q] - base
+        ohc = ((cpos - base)[:, None] == rc_iota).astype(jnp.float32)
+        # HIGHEST: e/f/g values exceed bf16's 2^8 integer exactness;
+        # one (Q, 5) stacked matmul compacts all five vectors at once
+        vs = jnp.stack([ones, qrows, e, f, g], axis=1).astype(jnp.float32)
+        comp = jax.lax.dot_general(
+            ohc, vs, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(jnp.int32)  # (_RC, 5)
+        valid = comp[:, 0] > 0
+        lane, e_c, f_c, g_c = comp[:, 1], comp[:, 2], comp[:, 3], comp[:, 4]
         e2, f2, g2 = _reset_windowed(
             (valid, e_c, f_c, g_c, dflat, aflat, kk, lane), xqf, xpf, NW, Mp)
+        upd = jax.lax.dot_general(
+            ohc, jnp.stack([e2, f2, g2], axis=1).astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(jnp.int32)  # (Q, 3)
+        sel = (cpos >= base) & (cpos < base + _RC)
+        return (t + 1, jnp.where(sel, upd[:, 0], e),
+                jnp.where(sel, upd[:, 1], f), jnp.where(sel, upd[:, 2], g))
 
-        def expand(v2, v):                   # (qc,) -> (Q,) write-back
-            upd = jax.lax.dot_general(
-                ohc, v2.astype(jnp.float32)[:, None],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
-            return jnp.where(collapsed, upd, v)
-
-        return expand(e2, e), expand(f2, f1), expand(g2, g1)
-
-    return jax.lax.cond(ncol <= qc, compact_path,
-                        lambda op: _reset_windowed(op, xqf, xpf, NW, Mp), op)
+    _, e, f, g = jax.lax.while_loop(lambda st: st[0] < nchunk, body,
+                                    (jnp.int32(0), e, f1, g1))
+    return e, f, g
 
 
 @jax.jit
@@ -555,11 +591,12 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
                 w2 = wN.reshape(R, 128)
                 uplane = u.reshape(R, 128)
             fg = jnp.concatenate([f, g])
-            # FM interval step: 2Q rank lookups per site ride the MXU
-            # (near-serial XLA gather would cost ~28 ns * 2Q each site)
+            # FM interval step: 2Q rank lookups per site ride the MXU as a
+            # 1-pass bf16 digit-plane matmul (near-serial XLA gather would
+            # cost ~28 ns * 2Q each site; a HIGHEST i32 one-hot 6 passes)
             ufg = jnp.where(fg == Mp, c,
-                            _mxu_gather_plane(uplane,
-                                              jnp.minimum(fg, Mp - 1)))
+                            _mxu_gather_u8planes(_u8_digit_planes(uplane),
+                                                 jnp.minimum(fg, Mp - 1)))
             fg1 = jnp.where(jnp.concatenate([xk, xk]) != 0,
                             c + fg - ufg, ufg)
             f1, g1 = fg1[:Q], fg1[Q:]
@@ -603,10 +640,12 @@ def panel_trajectory(W: jnp.ndarray, a0: jnp.ndarray, d0: jnp.ndarray):
     cursors of one forward pass).
 
     W (Ng, Mp) packed group words; a0/d0 the initial prefix/divergence
-    arrays.  Returns (a_end, A_pre (Ns, Mp), D_post (Ns, Mp), U (Ns, Mp),
-    C (Ns,)) with Ns = Ng*32: per site, the pre-site prefix array (the id
-    snapshot), the post-site divergence array, the global exclusive
-    zero-rank table and the zero count.
+    arrays.  Returns (a_end, A_pre (Ns, Mp), D_post (Ns, Mp),
+    U8 (Ns, R, 384), C (Ns,)) with Ns = Ng*32: per site, the pre-site
+    prefix array (the id snapshot), the post-site divergence array, the
+    global exclusive zero-rank table as base-256 uint8 digit planes (the
+    layout the 1-pass bf16 FM gather consumes - 3 bytes/hap-site instead
+    of 4 and 6x fewer MXU passes per lookup) and the zero count.
     """
     from .partition_pallas import (partition_ad_step,
                                    partition_ad_step_blocked, blocked_rb)
@@ -660,7 +699,7 @@ def panel_trajectory(W: jnp.ndarray, a0: jnp.ndarray, d0: jnp.ndarray):
                 w2 = wN.reshape(R, 128)
                 u2 = u.reshape(R, 128)
             return ((a2, d2, w2),
-                    (snap, d2.reshape(-1), u2.reshape(-1), cnt[0]))
+                    (snap, d2.reshape(-1), _u8_digit_planes(u2), cnt[0]))
 
         st0 = (a.reshape(R, 128), d.reshape(R, 128), w.reshape(R, 128))
         (aR, dR, _), (snaps, dpost, u, c) = jax.lax.scan(site_step, st0,
@@ -675,19 +714,21 @@ def panel_trajectory(W: jnp.ndarray, a0: jnp.ndarray, d0: jnp.ndarray):
 
 
 @jax.jit
-def match_scan_indexed(U, D, A_all, C, qcols, xq_words, xp_words, e, f, g):
+def match_scan_indexed(U8, D, A_all, C, qcols, xq_words, xp_words, e, f, g):
     """Query-only sweep against a precomputed panel trajectory.
 
     The panel advance is gone (panel_trajectory ran it once); per site the
-    scan streams one rank-table row from HBM for the MXU interval update,
-    and the divergence/prefix rows are dynamically sliced ONLY inside the
-    collapse branch, so the (rare) resets are the only reads of D/A.
+    scan streams one rank-table digit-plane row from HBM for the 1-pass
+    bf16 MXU interval update, and the divergence/prefix rows are
+    dynamically sliced ONLY inside the collapse branch, so the (rare)
+    resets are the only reads of D/A.
 
-    U/D (Ns, Mp), A_all (Ns+1, Mp) with A_all[k] the pre-site-k prefix
-    array and A_all[Ns] the final one; C (Ns,); qcols (Ns, Q).
+    U8 (Ns, R, 384) uint8 digit planes; D (Ns, Mp); A_all (Ns+1, Mp) with
+    A_all[k] the pre-site-k prefix array and A_all[Ns] the final one;
+    C (Ns,); qcols (Ns, Q).
     Returns ((e, f, g) flush carry, mask, es, fs, gs) as match_scan_segment.
     """
-    Ns, Mp = U.shape
+    Ns, Mp = D.shape
     Q = qcols.shape[1]
     NW = xq_words.shape[1]
     xqf = xq_words.reshape(-1)
@@ -697,11 +738,10 @@ def match_scan_indexed(U, D, A_all, C, qcols, xq_words, xp_words, e, f, g):
 
     def site_step(carry, xs):
         e, f, g = carry
-        u, c, xk, kk = xs
-        uplane = u.reshape(-1, 128)
+        u8, c, xk, kk = xs
         fg = jnp.concatenate([f, g])
         ufg = jnp.where(fg == Mp, c,
-                        _mxu_gather_plane(uplane, jnp.minimum(fg, Mp - 1)))
+                        _mxu_gather_u8planes(u8, jnp.minimum(fg, Mp - 1)))
         fg1 = jnp.where(jnp.concatenate([xk, xk]) != 0, c + fg - ufg, ufg)
         f1, g1 = fg1[:Q], fg1[Q:]
         collapsed = g1 <= f1
@@ -721,7 +761,7 @@ def match_scan_indexed(U, D, A_all, C, qcols, xq_words, xp_words, e, f, g):
         return (e, f, g), rec
 
     (e, f, g), (mask, es, fs, gs) = jax.lax.scan(
-        site_step, (e, f, g), (U, C, qcols, kks))
+        site_step, (e, f, g), (U8, C, qcols, kks))
     return (e, f, g), mask, es, fs, gs
 
 
@@ -867,9 +907,10 @@ def _pow2_pad(n: int) -> int:
 _SNAP_BYTES = 1_500_000_000
 
 # standing-panel trajectory budget: when the three per-site tables
-# (prefix/divergence/rank, 12 bytes per hap-site) fit, DeviceMatcher
-# precomputes them once and serves queries from HBM (panel_trajectory);
-# beyond it, the interleaved per-segment panel advance runs per call
+# (prefix i32 / divergence i32 / rank u8-digit-planes, 11 bytes per
+# hap-site) fit, DeviceMatcher precomputes them once and serves queries
+# from HBM (panel_trajectory); beyond it, the interleaved per-segment
+# panel advance runs per call
 _TRAJ_BYTES_DEFAULT = 6_000_000_000
 
 
@@ -925,11 +966,11 @@ class DeviceMatcher:
         # standing-panel trajectory: 12 bytes/hap-site of HBM tables buys
         # query batches that never re-run the panel advance
         self.traj = None
-        if 12 * Mp * (Ng * GROUP + 1) <= _traj_bytes():
+        if 11 * Mp * (Ng * GROUP + 1) <= _traj_bytes():
             a0 = jnp.arange(Mp, dtype=jnp.int32)
             d0 = jnp.zeros(Mp, dtype=jnp.int32).at[0].set(1)
-            a_end, A_pre, D, U, C = panel_trajectory(self.W_all, a0, d0)
-            self.traj = (jnp.concatenate([A_pre, a_end[None]]), D, U, C)
+            a_end, A_pre, D, U8, C = panel_trajectory(self.W_all, a0, d0)
+            self.traj = (jnp.concatenate([A_pre, a_end[None]]), D, U8, C)
         elif self.nseg * self.gseg > Ng:
             self.W_all = jnp.concatenate(
                 [self.W_all,

@@ -153,8 +153,8 @@ def main():
         if "bigwin" in stages:
             # bigger windows -> fewer while_loop fallbacks; variant_scan
             # re-traces _reset_windowed so the patched globals take effect
-            wb0, wd0 = mj._WB, mj._WD
-            mj._WB, mj._WD = 16, 64
+            wb0 = mj._WB
+            mj._WB = 16
             try:
                 run = variant_scan("nofall2")
                 t0 = time.perf_counter()
@@ -168,7 +168,7 @@ def main():
                 emit(stage="bigwin", Q=Q, compile_s=round(comp, 1),
                      s=round(dt, 3), us_per_site=round(dt / Ns * 1e6, 1))
             finally:
-                mj._WB, mj._WD = wb0, wd0
+                mj._WB = wb0
 
         if "pack" in stages:
             # synthetic records: pack cost is value-independent, so this

@@ -105,15 +105,21 @@ def check_mxu_exactness():
     got = np.asarray(mj._mxu_gather_plane(jnp.asarray(plane),
                                           jnp.asarray(idx)))
     assert np.array_equal(got, plane.reshape(-1)[idx]), "gather_plane inexact"
+    got8 = np.asarray(mj._mxu_gather_u8planes(
+        jnp.asarray(np.asarray(mj._u8_digit_planes(jnp.asarray(plane)))),
+        jnp.asarray(idx)))
+    assert np.array_equal(got8, plane.reshape(-1)[idx]), \
+        "digit-plane gather inexact"
     start = rng.randint(-4, R * 128 - 1, size=96).astype(np.int32)
-    win = np.asarray(mj._mxu_window16(jnp.asarray(plane),
-                                      jnp.asarray(start), R * 128))
+    two, l0 = mj._mxu_window_rows(jnp.asarray(plane), jnp.asarray(start))
+    two, l0 = np.asarray(two), np.asarray(l0)
     flat = plane.reshape(-1)
-    for j in range(mj._WD):
+    for j in range(mj._WW):
+        li = l0 + j
         pos = start + j
-        exp = np.where(pos < 0, flat[0], flat[np.minimum(pos, R * 128 - 1)])
-        valid = pos < R * 128
-        assert np.array_equal(win[valid, j], exp[valid]), f"window16 j={j}"
+        valid = (li < 256) & (pos >= 0) & (pos < R * 128)
+        assert np.array_equal(two[valid, li[valid]], flat[pos[valid]]), \
+            f"window_rows j={j}"
     print("PASS MXU one-hot gathers exact at 2^20 values")
 
 
