@@ -285,31 +285,46 @@ def _mxu_gather_u8planes(planes, idx):
     return jnp.sum(jnp.where(sel, rows * w, 0.0), axis=1).astype(jnp.int32)
 
 
-def _mxu_window_rows(plane, start):
-    """Two-row contiguous window: two[k, l0[k] + t] = plane.flat[start[k]+t]
+def _combine_digit_cols(rows_f32, c):
+    """(n, 3c) f32 digit columns [low | mid | high] -> (n, c) int32."""
+    n = rows_f32.shape[0]
+    r3 = rows_f32.reshape(n, 3, c)
+    return (r3[:, 0] + 256.0 * r3[:, 1] + 65536.0 * r3[:, 2]
+            ).astype(jnp.int32)
+
+
+def _digit_cols(vals_i32):
+    """(n, c) int32 in [0, 2^24) -> (n, 3c) uint8 [low | mid | high]."""
+    return jnp.concatenate([
+        (vals_i32 & 0xFF).astype(jnp.uint8),
+        ((vals_i32 >> 8) & 0xFF).astype(jnp.uint8),
+        ((vals_i32 >> 16) & 0xFF).astype(jnp.uint8)], axis=1)
+
+
+def _mxu_window_rows(planes, start):
+    """Two-row contiguous window: two[k, l0[k] + t] = table[start[k] + t]
     for t >= 0 while start[k] + t stays inside the two fetched rows (span
-    of at least _WW + 15 lanes).  start may stick out of [0, R*128):
-    under-range lanes read row 0 and over-range lanes read the last row -
-    callers mask both with their own sentinels.  Returns (two (K, 256)
-    int32, l0 (K,)).  One (2K, R) one-hot HIGHEST matmul; no per-lane
-    extraction loop (the caller reduces over the 256 lanes directly).
+    of at least _WW + 15 lanes).  planes (R, 384) uint8 digit planes of
+    the table.  start may stick out of [0, R*128): under-range lanes read
+    row 0 and over-range lanes read the last row - callers mask both with
+    their own sentinels.  Returns (two (K, 256) int32, l0 (K,)).  One
+    1-pass bf16 (2K, R) one-hot matmul (exact: see _mxu_gather_u8planes);
+    no per-lane extraction loop (callers reduce the 256 lanes directly).
     """
     K = start.shape[0]
-    R = plane.shape[0]
+    R = planes.shape[0]
     start_eff = jnp.maximum(start, 0)
     under_off = start_eff - start            # >0 iff start < 0
     r0 = jnp.minimum(start_eff >> 7, R - 1)
     l0 = (start_eff & 127) - under_off       # lane offset, may be < 0
     rr = jnp.concatenate([r0, jnp.minimum(r0 + 1, R - 1)])
     oh = (rr[:, None] == jax.lax.broadcasted_iota(jnp.int32, (2 * K, R), 1)
-          ).astype(jnp.float32)
-    # HIGHEST: default TPU f32 matmuls round inputs to bf16 (see
-    # _mxu_gather_plane) - d values >= 2^8 would be corrupted
-    rows = jax.lax.dot_general(oh, plane.astype(jnp.float32),
+          ).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(oh, planes.astype(jnp.bfloat16),
                                (((1,), (0,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
-    two = jnp.concatenate([rows[:K], rows[K:]], axis=1).astype(jnp.int32)
+    vals = _combine_digit_cols(rows, 128)                     # (2K, 128)
+    two = jnp.concatenate([vals[:K], vals[K:]], axis=1)
     return two, l0
 
 
@@ -317,22 +332,22 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
     """Vectorised post-collapse (e, f, g) reset (pbwtMatch.c:309-320).
 
     Same semantics as the reference's three scalar scans, restructured for
-    the VPU/MXU: d/a lookups ride one-hot matmuls (_mxu_gather_plane),
-    widening scans reduce a two-row contiguous d window with masked
-    max/argmax (_mxu_window_rows, span _WW), and rare overruns fall into
-    cond-gated while_loops whose bodies run only when some query still
-    needs them.
+    the VPU/MXU: d/a lookups ride 1-pass bf16 digit-plane one-hot matmuls
+    (_mxu_gather_u8planes); the interval-widening walks are answered
+    LOOP-FREE as range queries - the stop row comes from one masked
+    max/argmax over the per-site d row maxima (drow), then one row fetch
+    pins the lane - so a short new match whose interval spans thousands
+    of panel rows costs the same as a width-1 interval (the old windowed
+    walk degenerated to ~Mp/128-step while_loops there).  Only the
+    backward match extension keeps a cond-gated fallback loop, for
+    (rare) extensions beyond the _WB-word window.
     """
-    collapsed, e, f1, g1, dflat, a_new, kk, qrows = op
-    d_plane = dflat.reshape(-1, 128)
-    a_plane = a_new.reshape(-1, 128)
-
-    def dval(idx):
-        return jnp.where(idx >= Mp, kk + 2,
-                         dflat[jnp.clip(idx, 0, Mp - 1)])
+    collapsed, e, f1, g1, d8, a8, drow, kk, qrows = op
+    K = f1.shape[0]
+    R = d8.shape[0]
 
     def dval_mxu(idx):
-        v = _mxu_gather_plane(d_plane, jnp.clip(idx, 0, Mp - 1))
+        v = _mxu_gather_u8planes(d8, jnp.clip(idx, 0, Mp - 1))
         return jnp.where(idx >= Mp, kk + 2, v)
 
     e1 = dval_mxu(f1) - 1
@@ -341,7 +356,7 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
     xe1 = (wq >> (8 * ((jbit >> 3) & 3) + 7 - (jbit & 7))) & 1
     branch_a = (f1 == Mp) | ((f1 > 0) & (xe1 == 0))
     fsel = jnp.where(branch_a, g1 - 1, f1)
-    ref_hap = _mxu_gather_plane(a_plane, jnp.clip(fsel, 0, Mp - 1))
+    ref_hap = _mxu_gather_u8planes(a8, jnp.clip(fsel, 0, Mp - 1))
 
     # backward match extension on packed words, windowed
     base = jnp.maximum(e1 - 1, 0)
@@ -362,38 +377,7 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
     pend_bw = active & ~found_w & (w0 - _WB >= 0)
     e1_win = jnp.where(active, jnp.where(found_w, j_w + 1, 0), e1)
 
-    # widening scans computed from the window e1 (lanes whose backward
-    # extension overran the window are re-done in the fallback branch);
-    # both reduce one two-row d window per direction with masked
-    # max/argmax over the 256 fetched lanes - no extraction loop
-    K = f1.shape[0]
-    li = jax.lax.broadcasted_iota(jnp.int32, (K, 256), 1)
-    # down from fsel while d <= e1: the largest p <= fsel with d[p] > e1.
-    # p = 0 always stops (d[0] is the kk+2 sentinel and e1 <= kk+1), so a
-    # window reaching p = 0 always finds; p < 0 lanes are masked out
-    startd = fsel - (_WW - 1)
-    twod, l0d = _mxu_window_rows(d_plane, startd)
-    t_d = li - l0d[:, None]
-    posd = startd[:, None] + t_d
-    vald = jnp.where(posd <= 0, kk + 2, twod)
-    maskd = ((t_d >= 0) & (posd >= 0) & (posd <= fsel[:, None])
-             & (vald > e1_win[:, None]))
-    foundd = jnp.any(maskd, axis=1)
-    f_down = startd + jnp.max(jnp.where(maskd, li, -1), axis=1) - l0d
-    pend_d = collapsed & branch_a & (~foundd | pend_bw)
-    # up from f1+1 while gc < Mp and d[gc] <= e1: the first stop position
-    # (p >= Mp reads the kk+2 sentinel, so the walk halts at Mp itself)
-    startu = f1 + 1
-    twou, l0u = _mxu_window_rows(d_plane, startu)
-    t_u = li - l0u[:, None]
-    posu = startu[:, None] + t_u
-    valu = jnp.where(posu >= Mp, kk + 2, twou)
-    masku = (t_u >= 0) & (valu > e1_win[:, None])
-    foundu = jnp.any(masku, axis=1)
-    g_up = startu + jnp.argmax(masku, axis=1) - l0u
-    pend_u = collapsed & ~branch_a & (~foundu | pend_bw)
-
-    def fallbacks(_):
+    def bw_fallback(_):
         def wcond(st):
             wx, found, _ = st
             return jnp.any(pend_bw & ~found & (wx >= 0))
@@ -410,36 +394,59 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
         _, fnd, j2 = jax.lax.while_loop(
             wcond, wbody,
             (w0 - _WB, jnp.zeros_like(pend_bw), jnp.zeros_like(w0)))
-        e1_fb = jnp.where(pend_bw,
-                          jnp.where(fnd, j2 + 1, 0), e1_win)
+        return jnp.where(pend_bw, jnp.where(fnd, j2 + 1, 0), e1_win)
 
-        def dn_body(st):
-            fc, act = st
-            # fc >= 0 bound: d[0] is the k+2 sentinel and e1 <= k+1, so a
-            # correct walk always stops by fc = 0; the explicit bound makes
-            # termination unconditional (an inexact e1 >= k+2 would
-            # otherwise walk fc to -inf and wedge the TPU worker - the
-            # round-3 failure mode before the MXU precision fix)
-            cont = act & (fc >= 0) & (dval(fc) <= e1_fb)
-            return jnp.where(cont, fc - 1, fc), cont
+    e1 = jax.lax.cond(jnp.any(pend_bw), bw_fallback, lambda _: e1_win, 0)
 
-        fc, _ = jax.lax.while_loop(lambda st: jnp.any(st[1]), dn_body,
-                                   (fsel, pend_d))
-
-        def up_body(st):
-            gc, act = st
-            cont = act & (gc < Mp) & (dval(gc) <= e1_fb)
-            return jnp.where(cont, gc + 1, gc), cont
-
-        gc, _ = jax.lax.while_loop(lambda st: jnp.any(st[1]), up_body,
-                                   (f1 + 1, pend_u))
-        return e1_fb, fc, gc
-
-    e1, f_fb, g_fb = jax.lax.cond(
-        jnp.any(pend_bw | pend_d | pend_u), fallbacks,
-        lambda _: (e1_win, fsel, f1 + 1), 0)
-    f_down = jnp.where(pend_d, f_fb, f_down)
-    g_up = jnp.where(pend_u, g_fb, g_up)
+    # loop-free widening (down: largest p <= fsel with d[p] > e1; up:
+    # smallest p >= f1+1 with p == Mp or d[p] > e1).  In-window part: a
+    # row-ALIGNED two-row d window around the walk start; beyond it, the
+    # stop row is the nearest row whose max d exceeds e1 (drow broadcast +
+    # masked max/argmax), and one fetch of that row pins the exact lane.
+    # Down always terminates inside this (d[0] is the kk+2 sentinel and
+    # e1 <= kk+1 ⇒ row 0 always qualifies); up defaults to Mp.
+    li = jax.lax.broadcasted_iota(jnp.int32, (K, 256), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
+    drow_b = jnp.broadcast_to(drow[None, :], (K, R))
+    r_f = jnp.clip(fsel, 0, Mp - 1) >> 7
+    r_u = jnp.minimum(f1 + 1, Mp - 1) >> 7
+    # nearest qualifying row below r_f-1 / above r_u+1
+    maskrd = (ri <= r_f[:, None] - 2) & (drow_b > e1[:, None])
+    found_rd = jnp.any(maskrd, axis=1)
+    r_dsel = jnp.maximum(jnp.max(jnp.where(maskrd, ri, -1), axis=1), 0)
+    maskru = (ri >= r_u[:, None] + 2) & (drow_b > e1[:, None])
+    found_ru = jnp.any(maskru, axis=1)
+    r_usel = jnp.argmax(maskru, axis=1)
+    # one fused fetch: the two aligned in-windows + the two stop rows
+    startd = (r_f - 1) * 128
+    startu = r_u * 128
+    twod, l0d = _mxu_window_rows(d8, startd)
+    twou, l0u = _mxu_window_rows(d8, startu)
+    tworr, _ = _mxu_window_rows(d8, jnp.concatenate([r_dsel, r_usel]) * 128)
+    vrow_d, vrow_u = tworr[:K, :128], tworr[K:, :128]
+    # down in-window: rows r_f-1, r_f (aligned ⇒ posd = startd + li - l0d)
+    posd = startd[:, None] + li - l0d[:, None]
+    vald = jnp.where(posd <= 0, kk + 2, twod)
+    maskd = (posd >= 0) & (posd <= fsel[:, None]) & (vald > e1[:, None])
+    found_in_d = jnp.any(maskd, axis=1)
+    f_in = startd + jnp.max(jnp.where(maskd, li, -1), axis=1) - l0d
+    lrow = li[:, :128]
+    mrow_d = vrow_d > e1[:, None]
+    f_row = r_dsel * 128 + jnp.max(jnp.where(mrow_d, lrow, 0), axis=1)
+    f_down = jnp.where(found_in_d, f_in, f_row)
+    # up in-window: rows r_u, r_u+1; p >= Mp reads the sentinel ⇒ halts
+    # at Mp itself
+    posu = startu[:, None] + li - l0u[:, None]
+    valu = jnp.where(posu >= Mp, kk + 2, twou)
+    masku = (posu >= f1[:, None] + 1) & (valu > e1[:, None])
+    found_in_u = jnp.any(masku, axis=1)
+    g_in = startu + jnp.argmax(masku, axis=1) - l0u
+    mrow_u = vrow_u > e1[:, None]
+    g_row = jnp.where(jnp.any(mrow_u, axis=1),
+                      r_usel * 128 + jnp.argmax(mrow_u, axis=1),
+                      Mp)
+    g_up = jnp.where(found_in_u, g_in,
+                     jnp.where(found_ru, g_row, Mp))
 
     f_new = jnp.where(branch_a, f_down, f1)
     g_new = jnp.where(branch_a, g1, g_up)
@@ -457,10 +464,11 @@ def _site_reset(op, xqf, xpf, NW, Mp):
     in ~10 minutes and cost ~2.7 ms/site whenever a bursty site overflowed
     a fixed compaction tier).  The typical site needs exactly one chunk.
 
-    Compaction and write-back are (Q, _RC) one-hot f32 matmuls rather than
-    scatter/gather (XLA scatter on TPU is near-serial: ~30 ns/element, so
-    a Q-wide scatter alone would cost ~Q/30 us per site)."""
-    collapsed, e, f1, g1, dflat, aflat, kk, qrows = op
+    Compaction and write-back are 1-pass bf16 (Q, _RC) one-hot matmuls
+    over base-256 digit columns (exact: see _mxu_gather_u8planes) rather
+    than scatter/gather (XLA scatter on TPU is near-serial: ~30 ns/element,
+    so a Q-wide scatter alone would cost ~Q/30 us per site)."""
+    collapsed, e, f1, g1, d8, a8, drow, kk, qrows = op
     Q = collapsed.shape[0]
     if Q <= _RC:
         return _reset_windowed(op, xqf, xpf, NW, Mp)
@@ -474,23 +482,22 @@ def _site_reset(op, xqf, xpf, NW, Mp):
         t, e, f, g = st
         base = t * _RC
         # one-hot (Q, _RC): query q owns compact lane pos[q] - base
-        ohc = ((cpos - base)[:, None] == rc_iota).astype(jnp.float32)
-        # HIGHEST: e/f/g values exceed bf16's 2^8 integer exactness;
-        # one (Q, 5) stacked matmul compacts all five vectors at once
-        vs = jnp.stack([ones, qrows, e, f, g], axis=1).astype(jnp.float32)
-        comp = jax.lax.dot_general(
-            ohc, vs, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).astype(jnp.int32)  # (_RC, 5)
+        ohc = ((cpos - base)[:, None] == rc_iota).astype(jnp.bfloat16)
+        # one stacked digit-column matmul compacts all five vectors
+        vs = _digit_cols(jnp.stack([ones, qrows, e, f, g], axis=1))
+        comp = _combine_digit_cols(jax.lax.dot_general(
+            ohc, vs.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), 5)           # (_RC, 5)
         valid = comp[:, 0] > 0
         lane, e_c, f_c, g_c = comp[:, 1], comp[:, 2], comp[:, 3], comp[:, 4]
         e2, f2, g2 = _reset_windowed(
-            (valid, e_c, f_c, g_c, dflat, aflat, kk, lane), xqf, xpf, NW, Mp)
-        upd = jax.lax.dot_general(
-            ohc, jnp.stack([e2, f2, g2], axis=1).astype(jnp.float32),
+            (valid, e_c, f_c, g_c, d8, a8, drow, kk, lane), xqf, xpf,
+            NW, Mp)
+        upd = _combine_digit_cols(jax.lax.dot_general(
+            ohc, _digit_cols(jnp.stack([e2, f2, g2], axis=1)
+                             ).astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).astype(jnp.int32)  # (Q, 3)
+            preferred_element_type=jnp.float32), 3)           # (Q, 3)
         sel = (cpos >= base) & (cpos < base + _RC)
         return (t + 1, jnp.where(sel, upd[:, 0], e),
                 jnp.where(sel, upd[:, 1], f), jnp.where(sel, upd[:, 2], g))
@@ -606,8 +613,8 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
                 jnp.any(collapsed),
                 lambda op: _site_reset(op, xqf, xpf, NW, Mp),
                 lambda op: (op[1], op[2], op[3]),
-                (collapsed, e, f1, g1, d2.reshape(-1), a2.reshape(-1),
-                 kk, qrows))
+                (collapsed, e, f1, g1, _u8_digit_planes(d2),
+                 _u8_digit_planes(a2), jnp.max(d2, axis=1), kk, qrows))
             return (a2, d2, w2, e, f, g), rec + (snap,)
 
         st0 = (a.reshape(R, 128), d.reshape(R, 128), w.reshape(R, 128),
@@ -640,12 +647,13 @@ def panel_trajectory(W: jnp.ndarray, a0: jnp.ndarray, d0: jnp.ndarray):
     cursors of one forward pass).
 
     W (Ng, Mp) packed group words; a0/d0 the initial prefix/divergence
-    arrays.  Returns (a_end, A_pre (Ns, Mp), D_post (Ns, Mp),
-    U8 (Ns, R, 384), C (Ns,)) with Ns = Ng*32: per site, the pre-site
-    prefix array (the id snapshot), the post-site divergence array, the
-    global exclusive zero-rank table as base-256 uint8 digit planes (the
-    layout the 1-pass bf16 FM gather consumes - 3 bytes/hap-site instead
-    of 4 and 6x fewer MXU passes per lookup) and the zero count.
+    arrays.  Returns (a_end, A_pre (Ns, Mp), D8 (Ns, R, 384),
+    DR (Ns, R), U8 (Ns, R, 384), C (Ns,)) with Ns = Ng*32: per site, the
+    pre-site prefix array (the id snapshot), the post-site divergence
+    array and rank table as base-256 uint8 digit planes (the layout the
+    1-pass bf16 MXU gathers consume - 3 bytes/hap-site each instead of 4
+    and 6x fewer MXU passes per lookup), the per-row d maxima (the
+    loop-free widening queries in _reset_windowed) and the zero count.
     """
     from .partition_pallas import (partition_ad_step,
                                    partition_ad_step_blocked, blocked_rb)
@@ -699,36 +707,38 @@ def panel_trajectory(W: jnp.ndarray, a0: jnp.ndarray, d0: jnp.ndarray):
                 w2 = wN.reshape(R, 128)
                 u2 = u.reshape(R, 128)
             return ((a2, d2, w2),
-                    (snap, d2.reshape(-1), _u8_digit_planes(u2), cnt[0]))
+                    (snap, _u8_digit_planes(d2), jnp.max(d2, axis=1),
+                     _u8_digit_planes(u2), cnt[0]))
 
         st0 = (a.reshape(R, 128), d.reshape(R, 128), w.reshape(R, 128))
-        (aR, dR, _), (snaps, dpost, u, c) = jax.lax.scan(site_step, st0,
-                                                         s_iota)
+        (aR, dR, _), (snaps, d8, dr, u8, c) = jax.lax.scan(site_step, st0,
+                                                           s_iota)
         return ((aR.reshape(-1), dR.reshape(-1), k + GROUP),
-                (snaps, dpost, u, c))
+                (snaps, d8, dr, u8, c))
 
-    (a, _, _), (A, D, U, C) = jax.lax.scan(
+    (a, _, _), (A, D8, DR, U8, C) = jax.lax.scan(
         group_step, (a0, d0, jnp.int32(0)), W)
     flat = lambda x: x.reshape((Ng * GROUP,) + x.shape[2:])
-    return a, flat(A), flat(D), flat(U), flat(C)
+    return a, flat(A), flat(D8), flat(DR), flat(U8), flat(C)
 
 
 @jax.jit
-def match_scan_indexed(U8, D, A_all, C, qcols, xq_words, xp_words, e, f, g):
+def match_scan_indexed(U8, D8, DR, A_all, C, qcols, xq_words, xp_words,
+                       e, f, g):
     """Query-only sweep against a precomputed panel trajectory.
 
     The panel advance is gone (panel_trajectory ran it once); per site the
     scan streams one rank-table digit-plane row from HBM for the 1-pass
-    bf16 MXU interval update, and the divergence/prefix rows are
+    bf16 MXU interval update, and the divergence/rowmax/prefix rows are
     dynamically sliced ONLY inside the collapse branch, so the (rare)
-    resets are the only reads of D/A.
+    resets are the only reads of D8/DR/A.
 
-    U8 (Ns, R, 384) uint8 digit planes; D (Ns, Mp); A_all (Ns+1, Mp) with
-    A_all[k] the pre-site-k prefix array and A_all[Ns] the final one;
-    C (Ns,); qcols (Ns, Q).
+    U8/D8 (Ns, R, 384) uint8 digit planes; DR (Ns, R) per-site d row
+    maxima; A_all (Ns+1, Mp) with A_all[k] the pre-site-k prefix array
+    and A_all[Ns] the final one; C (Ns,); qcols (Ns, Q).
     Returns ((e, f, g) flush carry, mask, es, fs, gs) as match_scan_segment.
     """
-    Ns, Mp = D.shape
+    Ns, Mp = A_all.shape[0] - 1, A_all.shape[1]
     Q = qcols.shape[1]
     NW = xq_words.shape[1]
     xqf = xq_words.reshape(-1)
@@ -749,9 +759,11 @@ def match_scan_indexed(U8, D, A_all, C, qcols, xq_words, xp_words, e, f, g):
 
         def do_reset(op):
             collapsed, e, f1, g1, kk, qrows = op
-            dflat = jax.lax.dynamic_slice_in_dim(D, kk, 1)[0]
+            d8 = jax.lax.dynamic_slice_in_dim(D8, kk, 1)[0]
+            drow = jax.lax.dynamic_slice_in_dim(DR, kk, 1)[0]
             aflat = jax.lax.dynamic_slice_in_dim(A_all, kk + 1, 1)[0]
-            return _site_reset((collapsed, e, f1, g1, dflat, aflat, kk,
+            a8 = _u8_digit_planes(aflat.reshape(-1, 128))
+            return _site_reset((collapsed, e, f1, g1, d8, a8, drow, kk,
                                 qrows), xqf, xpf, NW, Mp)
 
         e, f, g = jax.lax.cond(
@@ -969,8 +981,10 @@ class DeviceMatcher:
         if 11 * Mp * (Ng * GROUP + 1) <= _traj_bytes():
             a0 = jnp.arange(Mp, dtype=jnp.int32)
             d0 = jnp.zeros(Mp, dtype=jnp.int32).at[0].set(1)
-            a_end, A_pre, D, U8, C = panel_trajectory(self.W_all, a0, d0)
-            self.traj = (jnp.concatenate([A_pre, a_end[None]]), D, U8, C)
+            a_end, A_pre, D8, DR, U8, C = panel_trajectory(self.W_all,
+                                                           a0, d0)
+            self.traj = (jnp.concatenate([A_pre, a_end[None]]), D8, DR,
+                         U8, C)
         elif self.nseg * self.gseg > Ng:
             self.W_all = jnp.concatenate(
                 [self.W_all,
@@ -979,19 +993,26 @@ class DeviceMatcher:
     def _match_indexed(self, Xq: np.ndarray):
         """Query batch against the precomputed trajectory (one device scan
         + the same one-transfer record fetch as the segment path)."""
+        from ..core import native
         M, N, Mp, Q = self.M, self.N, self.Mp, Xq.shape[0]
-        A_all, D, U, C = self.traj
-        Ns = U.shape[0]
+        A_all, D8, DR, U8, C = self.traj
+        Ns = U8.shape[0]
         xq_bits = bitpack_rows(Xq)
-        xq_words_np = np.zeros((Q, self.nw), np.int32)
+        # pooled buffers: the sandbox faults fresh pages at ~14-80 MB/s,
+        # so a per-call np.zeros((Ns, Q)) would cost tens of ms by itself
+        xq_words_np = native.pooled_view((Q, self.nw), np.int32,
+                                         "match:xq_words")
+        xq_words_np[:] = 0
         w = pack_row_words(xq_bits)
         xq_words_np[:, :min(w.shape[1], self.nw)] = w[:, :self.nw]
-        qcols = np.zeros((Ns, Q), dtype=np.uint8)
+        qcols = native.pooled_view((Ns, Q), np.uint8, "match:qcols")
         qcols[:N] = Xq.T
+        qcols[N:] = 0
 
         (e, f, g), mask, es, fs, gs = match_scan_indexed(
-            U, D, A_all, C, jnp.asarray(qcols), jnp.asarray(xq_words_np),
-            self.xp_words, jnp.zeros(Q, jnp.int32), jnp.zeros(Q, jnp.int32),
+            U8, D8, DR, A_all, C, jnp.asarray(qcols),
+            jnp.asarray(xq_words_np), self.xp_words,
+            jnp.zeros(Q, jnp.int32), jnp.zeros(Q, jnp.int32),
             jnp.full(Q, Mp, jnp.int32))
         khead = min(_REC_HEAD, Ns * Q)
         packed = np.asarray(_pack_segment_results(mask, es, fs, gs,

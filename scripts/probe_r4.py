@@ -79,13 +79,12 @@ def main():
 
             def site_step(carry, xs):
                 e, f, g = carry
-                u, c, xk, kk = xs
-                uplane = u.reshape(-1, 128)
+                u8, c, xk, kk = xs
                 fg = jnp.concatenate([f, g])
                 ufg = jnp.where(
                     fg == Mp, c,
-                    match_jax._mxu_gather_plane(uplane,
-                                                jnp.minimum(fg, Mp - 1)))
+                    match_jax._mxu_gather_u8planes(u8,
+                                                   jnp.minimum(fg, Mp - 1)))
                 fg1 = jnp.where(jnp.concatenate([xk, xk]) != 0,
                                 c + fg - ufg, ufg)
                 f1, g1 = fg1[:Q], fg1[Q:]
@@ -102,8 +101,10 @@ def main():
                     collapsed, e, f1, g1, kk, qrows = op
                     dflat = jax.lax.dynamic_slice_in_dim(D, kk, 1)[0]
                     aflat = jax.lax.dynamic_slice_in_dim(A_all, kk + 1, 1)[0]
+                    d8 = match_jax._u8_digit_planes(dflat.reshape(-1, 128))
+                    a8 = match_jax._u8_digit_planes(aflat.reshape(-1, 128))
                     return match_jax._reset_windowed(
-                        (collapsed, e, f1, g1, dflat, aflat, kk, qrows),
+                        (collapsed, e, f1, g1, dflat, d8, a8, kk, qrows),
                         xqf, xpf, nw, Mp)
 
                 e, f, g = jax.lax.cond(

@@ -111,7 +111,9 @@ def check_mxu_exactness():
     assert np.array_equal(got8, plane.reshape(-1)[idx]), \
         "digit-plane gather inexact"
     start = rng.randint(-4, R * 128 - 1, size=96).astype(np.int32)
-    two, l0 = mj._mxu_window_rows(jnp.asarray(plane), jnp.asarray(start))
+    two, l0 = mj._mxu_window_rows(
+        jnp.asarray(np.asarray(mj._u8_digit_planes(jnp.asarray(plane)))),
+        jnp.asarray(start))
     two, l0 = np.asarray(two), np.asarray(l0)
     flat = plane.reshape(-1)
     for j in range(mj._WW):
