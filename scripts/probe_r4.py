@@ -48,9 +48,9 @@ def main():
     t0 = time.perf_counter()
     matcher = match_jax.DeviceMatcher(Xp)
     t_init = time.perf_counter() - t0
-    A_all, D, U, C = matcher.traj
+    A_all, D, DR, U, C = matcher.traj
     t0 = time.perf_counter()
-    block((A_all, D, U, C))
+    block((A_all, D, DR, U, C))
     emit(stage="traj", init_s=round(t_init, 1),
          traj_block_s=round(time.perf_counter() - t0, 1))
 
