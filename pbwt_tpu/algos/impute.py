@@ -621,44 +621,41 @@ def genotype_compare(p: PBWT, root: str) -> None:
 
 def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
     out = sys.stdout
-    n = np.zeros((17, 9), dtype=np.int64)
-    fsum = np.zeros(17)
-    nsum = np.zeros(17, dtype=np.int64)
-    isum = np.zeros(17)
-    ni = np.zeros(17, dtype=np.int64)
-    ns = np.zeros((p.M, 9), dtype=np.int64)
-    is_ref_freq = False
     is_dosage = p.dosageOffset is not None
     nd = np.zeros(12, dtype=np.int64)
     nd1 = np.zeros(12, dtype=np.int64)
 
+    # vectorised accumulation (the per-site counting loops of
+    # pbwtImpute.c:1398-1438 become bincounts over (bin, genotype-pair)
+    # keys; only the dosage tallies still walk sites, to stream the RLE)
     Xp = p.haplotypes()
     Xq = q.haplotypes()
-    Yp = p.decoded(True)
-    a = p.aFstart.copy()
-    for k in range(p.N):
-        c = int(np.count_nonzero(Yp[k] == 0))
-        f = (p.M - c) / p.M
-        s = p.sites[k]
-        if s.refFreq:
-            f = s.refFreq
-            is_ref_freq = True
-        ff = 0
-        while f * 100 > F_BOUND[ff]:
-            ff += 1
-        fsum[ff] += f * 100
-        nsum[ff] += 1
-        if s.imputeInfo < 1.0:
-            isum[ff] += s.imputeInfo
-            ni[ff] += 1
-        xp = Xp[:, k].astype(np.int64)
-        xq = Xq[:, k].astype(np.int64)
-        gp = xp[0::2] + xp[1::2]
-        gq = xq[0::2] + xq[1::2]
-        i9 = 3 * gp + gq
-        np.add.at(n[ff], i9, 1)
-        np.add.at(ns, (np.arange(0, p.M, 2), i9), 1)
-        if is_dosage:
+    fsite = Xp.astype(np.int64).sum(axis=0) / p.M     # allele-1 fraction
+    rf = np.array([s.refFreq for s in p.sites], dtype=np.float64)
+    is_ref_freq = bool((rf != 0.0).any())
+    f_arr = np.where(rf != 0.0, rf, fsite)
+    # first ff with f*100 <= F_BOUND[ff] == the reference's while walk
+    ff_arr = np.searchsorted(np.asarray(F_BOUND), f_arr * 100.0,
+                             side="left").astype(np.int64)
+    fsum = np.bincount(ff_arr, weights=f_arr * 100.0, minlength=17)
+    nsum = np.bincount(ff_arr, minlength=17).astype(np.int64)
+    ii = np.array([s.imputeInfo for s in p.sites], dtype=np.float64)
+    im = ii < 1.0
+    isum = np.bincount(ff_arr[im], weights=ii[im], minlength=17)
+    ni = np.bincount(ff_arr[im], minlength=17).astype(np.int64)
+
+    gp = Xp[0::2] + Xp[1::2]                          # (M/2, N) uint8
+    i9 = 3 * gp + (Xq[0::2] + Xq[1::2])               # 0..8, uint8
+    key = ff_arr.astype(np.uint8)[None, :] * 9 + i9   # ff*9+i9 <= 152
+    n = np.bincount(key.ravel(), minlength=17 * 9).reshape(17, 9)
+    ns = np.zeros((p.M, 9), dtype=np.int64)
+    for v in range(9):
+        ns[0::2, v] = (i9 == v).sum(axis=1)
+
+    if is_dosage:
+        Yp = p.decoded(True)
+        a = p.aFstart.copy()
+        for k in range(p.N):
             dos = dosage_retrieve(p, Yp[k], k)
             dos_nat = np.empty(p.M)
             dos_nat[a] = dos
@@ -666,8 +663,8 @@ def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
                            np.where(dos_nat == 1.0, 11,
                                     1 + (dos_nat * 10.0).astype(np.int64)))
             np.add.at(nd, ids, 1)
-            np.add.at(nd1, ids[xp == 1], 1)
-        a = engine.forwards_a(a, Yp[k])
+            np.add.at(nd1, ids[Xp[:, k] == 1], 1)
+            a = engine.forwards_a(a, Yp[k])
 
     if is_ref_freq:
         out.write("Genotype comparison results split on reference frequencies\n")

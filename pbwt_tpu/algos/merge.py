@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import engine, registry
+from ..core import engine, native, registry
 from ..core.pbwt import PBWT, Site
 from ..io import pbwtfile
 from ..utils import log
@@ -34,9 +34,13 @@ def merge(filenames: list[str]) -> PBWT:
     out = PBWT(nhaps, 0)
     out.sites = []
     out.chrom = pbwts[0].chrom
-    u = engine.WriteCursor(nhaps)
 
-    readers = [_NaturalColumns(p) for p in pbwts]
+    # key walk first (cheap, O(total sites) python), recording per file the
+    # action stream over its consumed columns: 1 = column of an emitted
+    # shared site, 0 = discard; the column work itself then runs as ONE
+    # streaming C pass (native.merge_core) with the reference's O(M)-live
+    # cursor memory model (pbwtMerge.c:129-208)
+    acts: list[list[int]] = [[] for _ in range(n)]
 
     # transliteration of the reference's reader advance
     # (pbwt_reader_next, pbwtMerge.c:78-127): skip every site whose key is
@@ -79,20 +83,39 @@ def merge(filenames: list[str]) -> PBWT:
         pos, mals = state["mpos"], state["mals"]
         shared = all(cpos[i] < pbwts[i].N and keys[i][cpos[i]] == (pos, mals)
                      for i in range(n))
+        for i in range(n):
+            if cpos[i] < pbwts[i].N and keys[i][cpos[i]] == (pos, mals):
+                acts[i].append(1 if shared else 0)
         if not shared:
-            # intersection: consume (and discard) the column of readers
-            # positioned on this key
-            for i in range(n):
-                if cpos[i] < pbwts[i].N and keys[i][cpos[i]] == (pos, mals):
-                    readers[i].next()
             continue
-        yseq = np.concatenate([readers[i].next() for i in range(n)])
-        u.write_natural(yseq)
         out.sites.append(Site(x=pos, varD=vd.add(mals)))
         out.N += 1
 
-    out.yz = u.packed()
-    out.aFend = u.a.copy()
+    n_emit = out.N
+    a0s = [(p.aFstart if p.aFstart is not None
+            else np.arange(p.M, dtype=np.int32)) for p in pbwts]
+    res = native.merge_core([p.yz for p in pbwts], [p.M for p in pbwts],
+                            a0s, [np.asarray(a, np.uint8) for a in acts],
+                            n_emit)
+    if res is not None:
+        out.yz, out.aFend = res
+    else:
+        # portable fallback: replay the action plan through streaming
+        # python readers
+        u = engine.WriteCursor(nhaps)
+        readers = [_NaturalColumns(p) for p in pbwts]
+        ptr = [0] * n
+        for _ in range(n_emit):
+            segs = []
+            for i in range(n):
+                while not acts[i][ptr[i]]:
+                    readers[i].next()
+                    ptr[i] += 1
+                segs.append(readers[i].next().copy())
+                ptr[i] += 1
+            u.write_natural(np.concatenate(segs))
+        out.yz = u.packed()
+        out.aFend = u.a.copy()
     log(f"merged {len(pbwts)} pbwts: M, N are {out.M}, {out.N}")
     return out
 

@@ -172,6 +172,9 @@ def get_lib():
                                       i32p, i64p]
     lib.format_f4_row.restype = L
     lib.format_f4_row.argtypes = [f64p, L, ctypes.c_char_p]
+    lib.merge_core.restype = L
+    lib.merge_core.argtypes = [L, u8p, i64p, i64p, i64p, u8p, i64p, i32p, L,
+                               i32p, u8p, L]
     _lib = lib
     return _lib
 
@@ -390,6 +393,46 @@ def pack_advance(y: np.ndarray, a: np.ndarray):
     ones = pooled_view(M, np.int32, "pack_adv_ones")
     lib.fwd_a(a, y, ones, M)
     return out[:nb].tobytes()
+
+
+def merge_core(yzs: list[bytes], Ms: list[int], a0s: list[np.ndarray],
+               acts: list[np.ndarray], n_emit: int):
+    """Multi-PBWT merge (pbwtMerge.c:129-208) as one streaming C pass.
+
+    yzs/Ms/a0s: per input file, the pack3 stream, haplotype count and
+    starting prefix array; acts[f] is the file's action stream over its
+    consumed columns in order (1 = column of an emitted shared site,
+    0 = discard) with exactly n_emit ones.  Returns (yz, a_end) for the
+    merged PBWT, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nf = len(yzs)
+    Mtot = int(sum(Ms))
+    yz_all = np.frombuffer(b"".join(bytes(z) for z in yzs), np.uint8)
+    nz_off = np.zeros(nf + 1, np.int64)
+    np.cumsum([len(z) for z in yzs], out=nz_off[1:])
+    Ms_arr = np.asarray(Ms, np.int64)
+    a_off = np.zeros(nf + 1, np.int64)
+    np.cumsum(Ms_arr, out=a_off[1:])
+    a_all = np.concatenate([np.ascontiguousarray(a, np.int32)
+                            for a in a0s])
+    act_all = np.concatenate([np.ascontiguousarray(a, np.uint8)
+                              for a in acts]) if acts else np.zeros(0, np.uint8)
+    act_off = np.zeros(nf + 1, np.int64)
+    np.cumsum([len(a) for a in acts], out=act_off[1:])
+    a_out = np.arange(Mtot, dtype=np.int32)
+    cap = int(2 * nz_off[-1] + 32 * n_emit + 65536)
+    while True:
+        yz_out = pooled(cap, "merge:yz_out")
+        n = lib.merge_core(nf, yz_all, nz_off, Ms_arr, a_off, act_all,
+                           act_off, a_all.copy(), n_emit, a_out, yz_out, cap)
+        if n < 0:
+            raise ValueError("merge_core: corrupt pack3 stream")
+        if n <= cap:
+            return yz_out[:n].tobytes(), a_out
+        cap = int(n)
+        a_out = np.arange(Mtot, dtype=np.int32)
 
 
 def natural_cols(yz: bytes, ncols: int, M: int, a0: np.ndarray):
