@@ -102,12 +102,20 @@ def _backend_or_none(timeout_s=75.0):
     return got[0] if got else None
 
 
+def trace(msg):
+    """Stage breadcrumb: stderr so the JSON contract is untouched but a
+    slow or skipped stage in a recorded run is attributable."""
+    print(f"bench[{time.perf_counter() - T_START:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def tpu_main():
     backend = _backend_or_none()
     if backend is None:
         print("bench: backend unresponsive within probe deadline; exiting "
               "for parent fallback", file=sys.stderr, flush=True)
         return
+    trace(f"backend {backend}")
 
     import jax
     import jax.numpy as jnp
@@ -121,7 +129,11 @@ def tpu_main():
 
     on_tpu = backend == "tpu"
     Mp = dbuild.pad_to(M, 4096 if on_tpu else 256)
-    w_dev = jnp.asarray(build_words(M, N, Mp))
+    W_host = build_words(M, N, Mp)
+    trace("panel words built")
+    w_dev = jnp.asarray(W_host)
+    np.asarray(w_dev[0, :1])               # force the upload
+    trace(f"panel uploaded ({W_host.nbytes >> 20} MB)")
     a0 = jnp.arange(Mp, dtype=jnp.int32)
 
     if on_tpu:
@@ -140,12 +152,14 @@ def tpu_main():
             return np.asarray(out[2]), np.asarray(out[1])
 
     run()  # warm-up / compile
+    trace("build compiled + warm")
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         a_end, counts = run()
     dt = (time.perf_counter() - t0) / reps
+    trace(f"build measured ({dt:.2f} s/rep)")
 
     hap_sites_per_s = M * N / dt
     result = {
@@ -171,10 +185,12 @@ def tpu_main():
         if remaining() < budget:
             skipped.append(name)
             continue
+        trace(f"stage {name} starting (remaining {remaining():.0f}s)")
         try:
             result.update(fn())
         except Exception as e:          # an extra must never kill the record
             result[name + "_error"] = repr(e)[:200]
+        trace(f"stage {name} done")
     if skipped:
         result["skipped"] = skipped
     result["elapsed_s"] = round(time.perf_counter() - T_START, 1)
@@ -306,7 +322,16 @@ def bench_match_data(M, N, Qmax):
     and the device numbers see identical data."""
     rng = np.random.RandomState(0)
     freqs = rng.beta(0.2, 0.8, size=N)
-    Xp = (rng.random_sample((M, N)) < freqs[None, :]).astype(np.uint8)
+    # row-blocked generation: MT19937 draws sequentially, so this yields
+    # byte-identical Xp to one (M, N) draw while never materialising the
+    # (M, N) float64 intermediate (1.6 GB at the default shape — this
+    # sandbox faults fresh pages at ~14-80 MB/s, so that intermediate
+    # alone cost tens of seconds of the match stage's budget)
+    Xp = np.empty((M, N), np.uint8)
+    B = max(1, (1 << 24) // max(N, 1))
+    for r0 in range(0, M, B):
+        r1 = min(r0 + B, M)
+        Xp[r0:r1] = rng.random_sample((r1 - r0, N)) < freqs[None, :]
     Xq = np.empty((Qmax, N), np.uint8)
     for q in range(Qmax):                 # panel-row mosaics: real matches
         pos = 0
@@ -325,16 +350,23 @@ def bench_match_dynamic(M=100_000, N=2048, Qs=(256, 1024, 4096)):
     from pbwt_tpu.ops import match_jax
 
     Xp, Xq = bench_match_data(M, N, max(Qs))
+    trace("match data built")
     matcher = match_jax.DeviceMatcher(Xp)
+    trace("matcher panel up (trajectory ready)")
     out = {"match_M": M, "match_N": N}
     for i, Q in enumerate(Qs):
-        if i and remaining() < 150:
+        # after the first Q, per-Q compiles are cheap (~10-16 s measured
+        # round 5); keep a modest guard so a degraded tunnel cannot eat
+        # the whole record
+        if i and remaining() < 60:
             out.setdefault("match_skipped_q", []).append(Q)
             continue
         matcher.match(Xq[:Q])             # warm-up / compile
+        trace(f"match Q={Q} compiled + warm")
         t0 = time.perf_counter()
         rows = matcher.match(Xq[:Q])
         dt = time.perf_counter() - t0
+        trace(f"match Q={Q} measured ({dt:.3f} s)")
         qps = round(Q / dt, 2)
         if i == 0:                        # primary BASELINE metric keys
             out["match_queries_per_s"] = qps

@@ -371,8 +371,12 @@ def match_sequences_indexed(p: PBWT, q: PBWT, report=report_match_stdout) -> Non
         if on_tpu:
             from ..ops import enable_compilation_cache, match_jax
             enable_compilation_cache()
-            rows = np.asarray(match_jax.match_queries_device(
-                p.haplotypes(), q.haplotypes())).reshape(-1, 4)
+            # stream the pack3 panel into the matcher (O(M*chunk) host
+            # bytes, pbwtCore.c:527-585's cursor memory model) instead of
+            # materialising the dense (M, N) haplotype matrix
+            matcher = (match_jax.DeviceMatcher.from_pbwt(p) if p.yz
+                       else match_jax.DeviceMatcher(p.haplotypes()))
+            rows = np.asarray(matcher.match(q.haplotypes())).reshape(-1, 4)
             order = np.lexsort((np.arange(len(rows)), rows[:, 3],
                                 rows[:, 0]))
             rows = rows[order]
@@ -515,7 +519,11 @@ def match_sequences_sweep(p: PBWT, q: PBWT, report) -> None:
         if on_tpu:
             from ..ops import enable_compilation_cache, match_jax
             enable_compilation_cache()
-            rows = match_jax.DeviceMatcher(p.haplotypes()).match(q.haplotypes())
+            # stream the pack3 panel into the matcher (O(M*chunk) host
+            # bytes) rather than decoding the dense haplotype matrix
+            matcher = (match_jax.DeviceMatcher.from_pbwt(p) if p.yz
+                       else match_jax.DeviceMatcher(p.haplotypes()))
+            rows = matcher.match(q.haplotypes())
             # query sort position per site: within an end site the sweep
             # reports queries in q's PBWT order (pbwtMatch.c:376)
             Yq_ = q.decoded(True)

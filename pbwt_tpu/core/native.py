@@ -435,22 +435,28 @@ def merge_core(yzs: list[bytes], Ms: list[int], a0s: list[np.ndarray],
         a_out = np.arange(Mtot, dtype=np.int32)
 
 
-def natural_cols(yz: bytes, ncols: int, M: int, a0: np.ndarray):
+def natural_cols(yz: bytes, ncols: int, M: int, a0: np.ndarray,
+                 start: int = 0, with_pos: bool = False):
     """Stream a packed PBWT into site-major NATURAL-order columns.
 
-    Returns (X (ncols, M) uint8, a_end, ones_per_col int64) or None.
+    Returns (X (ncols, M) uint8, a_end, ones_per_col int64) or None — or,
+    with ``with_pos``, (X, a_end, counts, next_start) so a caller can
+    stream the panel in site chunks with O(M * chunk) live bytes (pass the
+    advanced ``a_end`` back as ``a0`` and ``next_start`` as ``start``).
     One C pass (decode + scatter + prefix advance) replaces
     decode-everything + a python a-chase + a transpose."""
     lib = get_lib()
     if lib is None:
         return None
-    buf = np.frombuffer(bytes(yz), np.uint8)
+    buf = np.frombuffer(bytes(yz), np.uint8)[start:]
     a = np.ascontiguousarray(a0, np.int32).copy()
     X = np.empty((ncols, M), np.uint8)
     counts = np.empty(ncols, np.int64)
     used = lib.natural_cols(buf, len(buf), ncols, M, a, X.reshape(-1), counts)
     if used < 0:
         raise ValueError("corrupt pack3 stream")
+    if with_pos:
+        return X, a, counts, start + int(used)
     return X, a, counts
 
 

@@ -74,7 +74,8 @@ def enable_compilation_cache() -> None:
     explicit directory.  On tunneled backends (axon) the persistent cache
     verifiably hangs result fetches (>8 min inside jax.Array.__array__ for a
     toy kernel that runs in 31 ms without it), so it must never be on by
-    default.
+    default.  For Mosaic-free programs use :func:`xla_cache_scope` instead,
+    which is safe and on by default.
     """
     global _cache_enabled
     if _cache_enabled:
@@ -91,3 +92,56 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def xla_cache_scope():
+    """Context manager: persistent compile cache, STRICTLY OPT-IN
+    (set PBWT_TPU_XLA_CACHE to a directory to activate).
+
+    Measured round 5 on the tunneled axon backend, the persistent cache is
+    a dead end and must stay off by default:
+
+    - compiling UNDER an active cache is catastrophically slow: the
+      standing-panel query scan compiles in 67-86 s plain, and did not
+      finish within 7-14 MINUTES (idle box, three runs) with the cache
+      dir set — and the entry was never even written;
+    - a cache-HIT executable containing a Mosaic (Pallas) custom call
+      hangs its first result fetch (>240 s for a toy that round-trips
+      uncached in ~1 s);
+    - only tiny pure-XLA programs round-trip usefully (0.08 s hit).
+
+    The scope form is kept so the experiment is repeatable on saner
+    backends (real local TPU runtimes serialize executables fine): it
+    activates the cache for the duration, then fully RESETS the cache
+    singleton on exit (jax.config.update alone leaves the initialized
+    cache active process-wide, which is how Pallas programs leaked into
+    it when this was briefly default-on).
+    """
+    import contextlib
+
+    path = _os.environ.get("PBWT_TPU_XLA_CACHE", "")
+
+    @contextlib.contextmanager
+    def scope():
+        if not path:
+            yield
+            return
+        import jax
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            _os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              4.0)
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+            try:
+                from jax._src import compilation_cache
+
+                compilation_cache.reset_cache()
+            except Exception:
+                pass
+
+    return scope()

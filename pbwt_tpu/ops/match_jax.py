@@ -455,41 +455,58 @@ def _reset_windowed(op, xqf, xpf, NW, Mp):
             jnp.where(collapsed, g_new, g1))
 
 
-def _site_reset(op, xqf, xpf, NW, Mp):
-    """Reset dispatcher: compact the collapsed lanes into fixed _RC-wide
-    chunks and run the windowed reset once per chunk inside a while_loop,
-    so every reset - whatever the per-site collapse count - executes at
-    the same narrow width.  One traced copy of _reset_windowed (no
-    full-width branch: that branch made XLA compile the production scan
-    in ~10 minutes and cost ~2.7 ms/site whenever a bursty site overflowed
-    a fixed compaction tier).  The typical site needs exactly one chunk.
+def _site_reset(op, xqf, xpf, NW, Mp, recbuf, rcount):
+    """Reset dispatcher + in-scan record emitter: compact the collapsed
+    lanes into fixed _RC-wide chunks and run the windowed reset once per
+    chunk inside a while_loop, so every reset - whatever the per-site
+    collapse count - executes at the same narrow width.  One traced copy
+    of _reset_windowed (no full-width branch: that branch made XLA compile
+    the production scan in ~10 minutes and cost ~2.7 ms/site whenever a
+    bursty site overflowed a fixed compaction tier).  The typical site
+    needs exactly one chunk.
+
+    Each chunk also appends its compacted collapse records
+    (si = kk*Q + q, e_old, f_old, g_old) to ``recbuf`` at ``rcount`` -
+    site-major, query order - so the host never sorts the full (Ns, Q)
+    grid to find them (the old _compact_records 5-array lax.sort over
+    Ns*Q elements ran TWICE per call and dominated large-Q match time).
+    Overflow clamps the write inside the buffer and is detected by the
+    caller as final rcount > cap - _RC.
 
     Compaction and write-back are 1-pass bf16 (Q, _RC) one-hot matmuls
     over base-256 digit columns (exact: see _mxu_gather_u8planes) rather
     than scatter/gather (XLA scatter on TPU is near-serial: ~30 ns/element,
-    so a Q-wide scatter alone would cost ~Q/30 us per site)."""
-    collapsed, e, f1, g1, d8, a8, drow, kk, qrows = op
+    so a Q-wide scatter alone would cost ~Q/30 us per site).
+
+    Returns (e, f, g, recbuf, rcount')."""
+    collapsed, e, f1, g1, fold, gold, d8, a8, drow, kk, qrows = op
     Q = collapsed.shape[0]
-    if Q <= _RC:
-        return _reset_windowed(op, xqf, xpf, NW, Mp)
+    CAP = recbuf.shape[0]
     pos = jnp.cumsum(collapsed.astype(jnp.int32)) - 1
-    nchunk = (pos[-1] + _RC) // _RC          # ceil(ncol / _RC)
+    ncol = pos[-1] + 1
+    nchunk = (ncol + _RC - 1) // _RC
     rc_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, _RC), 1)
     cpos = jnp.where(collapsed, pos, -1)
     ones = jnp.ones_like(qrows)
 
     def body(st):
-        t, e, f, g = st
+        t, e, f, g, recbuf = st
         base = t * _RC
         # one-hot (Q, _RC): query q owns compact lane pos[q] - base
         ohc = ((cpos - base)[:, None] == rc_iota).astype(jnp.bfloat16)
-        # one stacked digit-column matmul compacts all five vectors
-        vs = _digit_cols(jnp.stack([ones, qrows, e, f, g], axis=1))
+        # one stacked digit-column matmul compacts all seven vectors
+        vs = _digit_cols(jnp.stack([ones, qrows, e, f, g, fold, gold],
+                                   axis=1))
         comp = _combine_digit_cols(jax.lax.dot_general(
             ohc, vs.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32), 5)           # (_RC, 5)
+            preferred_element_type=jnp.float32), 7)           # (_RC, 7)
         valid = comp[:, 0] > 0
         lane, e_c, f_c, g_c = comp[:, 1], comp[:, 2], comp[:, 3], comp[:, 4]
+        rec_rows = jnp.stack([jnp.where(valid, kk * Q + lane, -1),
+                              e_c, comp[:, 5], comp[:, 6]], axis=1)
+        recbuf = jax.lax.dynamic_update_slice(
+            recbuf, rec_rows,
+            (jnp.minimum(rcount + base, CAP - _RC), jnp.int32(0)))
         e2, f2, g2 = _reset_windowed(
             (valid, e_c, f_c, g_c, d8, a8, drow, kk, lane), xqf, xpf,
             NW, Mp)
@@ -500,11 +517,12 @@ def _site_reset(op, xqf, xpf, NW, Mp):
             preferred_element_type=jnp.float32), 3)           # (Q, 3)
         sel = (cpos >= base) & (cpos < base + _RC)
         return (t + 1, jnp.where(sel, upd[:, 0], e),
-                jnp.where(sel, upd[:, 1], f), jnp.where(sel, upd[:, 2], g))
+                jnp.where(sel, upd[:, 1], f), jnp.where(sel, upd[:, 2], g),
+                recbuf)
 
-    _, e, f, g = jax.lax.while_loop(lambda st: st[0] < nchunk, body,
-                                    (jnp.int32(0), e, f1, g1))
-    return e, f, g
+    _, e, f, g, recbuf = jax.lax.while_loop(
+        lambda st: st[0] < nchunk, body, (jnp.int32(0), e, f1, g1, recbuf))
+    return e, f, g, recbuf, rcount + ncol
 
 
 @jax.jit
@@ -522,8 +540,11 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
     W (Ngs, Mp) packed group words (pad sites all-zero = identity steps);
     qcols (Ngs*32, Q) query alleles (0 at pad sites);
     xq_words (Q, NW) / xp_words (Mp, NW) row-packed haplotype words;
-    carry = (a, d, e, f, g, k) with k the global site index.
-    Returns (carry', mask, es, fs, gs (Ns, Q), asnaps (Ns, Mp)).
+    carry = (a, d, e, f, g, k, recbuf, rcount) with k the global site
+    index and recbuf/rcount the cross-segment record buffer (records are
+    (si = k*Q + q global, e_old, f_old, g_old), emitted compacted during
+    the scan - see _site_reset).
+    Returns (carry', asnaps (Ns, Mp)).
     """
     from .partition_pallas import (partition_ad_step,
                                    partition_ad_step_blocked, blocked_rb)
@@ -547,7 +568,7 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
     s_iota = jnp.arange(GROUP, dtype=jnp.int32)
 
     def group_step(carry, xs):
-        a, d, e, f, g, k = carry
+        a, d, e, f, g, k, recbuf, rcount = carry
         w_nat, qgrp = xs
         w = sort_gather(w_nat, a)
 
@@ -562,7 +583,7 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
         use_blocked = (not use_kernel) and rb > 0
 
         def site_step(st, sxs):
-            aR, dR, wR, e, f, g = st
+            aR, dR, wR, e, f, g, recbuf, rcount = st
             s, xk = sxs
             kk = k + s
             snap = aR.reshape(-1)
@@ -608,28 +629,27 @@ def match_scan_segment(W: jnp.ndarray, qcols: jnp.ndarray,
                             c + fg - ufg, ufg)
             f1, g1 = fg1[:Q], fg1[Q:]
             collapsed = g1 <= f1
-            rec = (collapsed, e, f, g)
-            e, f, g = jax.lax.cond(
+            e, f, g, recbuf, rcount = jax.lax.cond(
                 jnp.any(collapsed),
-                lambda op: _site_reset(op, xqf, xpf, NW, Mp),
-                lambda op: (op[1], op[2], op[3]),
-                (collapsed, e, f1, g1, _u8_digit_planes(d2),
-                 _u8_digit_planes(a2), jnp.max(d2, axis=1), kk, qrows))
-            return (a2, d2, w2, e, f, g), rec + (snap,)
+                lambda op: _site_reset(op[:-2], xqf, xpf, NW, Mp,
+                                       op[-2], op[-1]),
+                lambda op: (op[1], op[2], op[3], op[-2], op[-1]),
+                (collapsed, e, f1, g1, f, g, _u8_digit_planes(d2),
+                 _u8_digit_planes(a2), jnp.max(d2, axis=1), kk, qrows,
+                 recbuf, rcount))
+            return (a2, d2, w2, e, f, g, recbuf, rcount), snap
 
         st0 = (a.reshape(R, 128), d.reshape(R, 128), w.reshape(R, 128),
-               e, f, g)
-        (aR, dR, _, e, f, g), (mask_g, e_g, f_g, g_g, snaps_g) = \
+               e, f, g, recbuf, rcount)
+        (aR, dR, _, e, f, g, recbuf, rcount), snaps_g = \
             jax.lax.scan(site_step, st0, (s_iota, qgrp))
-        return ((aR.reshape(-1), dR.reshape(-1), e, f, g, k + GROUP),
-                (mask_g, e_g, f_g, g_g, snaps_g))
+        return ((aR.reshape(-1), dR.reshape(-1), e, f, g, k + GROUP,
+                 recbuf, rcount), snaps_g)
 
     qgrps = qcols.reshape(Ngs, GROUP, Q)
-    carry, (mask, es, fs, gs, snaps) = jax.lax.scan(group_step, carry,
-                                                    (W, qgrps))
+    carry, snaps = jax.lax.scan(group_step, carry, (W, qgrps))
     flatten = lambda x: x.reshape((Ngs * GROUP,) + x.shape[2:])
-    return (carry, flatten(mask), flatten(es), flatten(fs), flatten(gs),
-            flatten(snaps))
+    return carry, flatten(snaps)
 
 
 @jax.jit
@@ -722,9 +742,9 @@ def panel_trajectory(W: jnp.ndarray, a0: jnp.ndarray, d0: jnp.ndarray):
     return a, flat(A), flat(D8), flat(DR), flat(U8), flat(C)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("cap",))
 def match_scan_indexed(U8, D8, DR, A_all, C, qcols, xq_words, xp_words,
-                       e, f, g):
+                       e, f, g, cap=1 << 17):
     """Query-only sweep against a precomputed panel trajectory.
 
     The panel advance is gone (panel_trajectory ran it once); per site the
@@ -733,10 +753,17 @@ def match_scan_indexed(U8, D8, DR, A_all, C, qcols, xq_words, xp_words,
     dynamically sliced ONLY inside the collapse branch, so the (rare)
     resets are the only reads of D8/DR/A.
 
+    Collapse records (si = k*Q + q, e_old, f_old, g_old) are emitted
+    compacted into a (cap, 4) buffer DURING the scan (see _site_reset) -
+    no per-site (Ns, Q) outputs, no post-hoc sort: the old path sorted
+    the full grid twice per call, which dominated large-Q match time.
+
     U8/D8 (Ns, R, 384) uint8 digit planes; DR (Ns, R) per-site d row
     maxima; A_all (Ns+1, Mp) with A_all[k] the pre-site-k prefix array
     and A_all[Ns] the final one; C (Ns,); qcols (Ns, Q).
-    Returns ((e, f, g) flush carry, mask, es, fs, gs) as match_scan_segment.
+    Returns ((e, f, g) flush carry, recbuf (cap, 4), nrec); the record
+    buffer overflowed iff nrec > cap - _RC (caller re-runs with a larger
+    cap).
     """
     Ns, Mp = A_all.shape[0] - 1, A_all.shape[1]
     Q = qcols.shape[1]
@@ -745,9 +772,10 @@ def match_scan_indexed(U8, D8, DR, A_all, C, qcols, xq_words, xp_words,
     xpf = xp_words.reshape(-1)
     qrows = jnp.arange(Q, dtype=jnp.int32)
     kks = jnp.arange(Ns, dtype=jnp.int32)
+    recbuf0 = jnp.full((cap, 4), -1, jnp.int32)
 
     def site_step(carry, xs):
-        e, f, g = carry
+        e, f, g, recbuf, rcount = carry
         u8, c, xk, kk = xs
         fg = jnp.concatenate([f, g])
         ufg = jnp.where(fg == Mp, c,
@@ -755,26 +783,26 @@ def match_scan_indexed(U8, D8, DR, A_all, C, qcols, xq_words, xp_words,
         fg1 = jnp.where(jnp.concatenate([xk, xk]) != 0, c + fg - ufg, ufg)
         f1, g1 = fg1[:Q], fg1[Q:]
         collapsed = g1 <= f1
-        rec = (collapsed, e, f, g)
 
         def do_reset(op):
-            collapsed, e, f1, g1, kk, qrows = op
+            collapsed, e, f1, g1, fold, gold, recbuf, rcount, kk = op
             d8 = jax.lax.dynamic_slice_in_dim(D8, kk, 1)[0]
             drow = jax.lax.dynamic_slice_in_dim(DR, kk, 1)[0]
             aflat = jax.lax.dynamic_slice_in_dim(A_all, kk + 1, 1)[0]
             a8 = _u8_digit_planes(aflat.reshape(-1, 128))
-            return _site_reset((collapsed, e, f1, g1, d8, a8, drow, kk,
-                                qrows), xqf, xpf, NW, Mp)
+            return _site_reset((collapsed, e, f1, g1, fold, gold, d8, a8,
+                                drow, kk, qrows), xqf, xpf, NW, Mp,
+                               recbuf, rcount)
 
-        e, f, g = jax.lax.cond(
+        e, f, g, recbuf, rcount = jax.lax.cond(
             jnp.any(collapsed), do_reset,
-            lambda op: (op[1], op[2], op[3]),
-            (collapsed, e, f1, g1, kk, qrows))
-        return (e, f, g), rec
+            lambda op: (op[1], op[2], op[3], op[6], op[7]),
+            (collapsed, e, f1, g1, f, g, recbuf, rcount, kk))
+        return (e, f, g, recbuf, rcount), None
 
-    (e, f, g), (mask, es, fs, gs) = jax.lax.scan(
-        site_step, (e, f, g), (U8, C, qcols, kks))
-    return (e, f, g), mask, es, fs, gs
+    (e, f, g, recbuf, nrec), _ = jax.lax.scan(
+        site_step, (e, f, g, recbuf0, jnp.int32(0)), (U8, C, qcols, kks))
+    return (e, f, g), recbuf, nrec
 
 
 @jax.jit
@@ -789,13 +817,20 @@ def _compact_records(mask, es, fs, gs):
     return jnp.stack([si, se, sf, sg])
 
 
-_REC_HEAD = 4096   # records fetched speculatively with the segment header
+_REC_CAP = 1 << 17   # default collapse-record buffer rows (2 MB)
+
+
+@jax.jit
+def _pack_flush(e, f, g, nrec):
+    """One-transfer scan tail: [nrec, e|f|g flush carry]."""
+    return jnp.concatenate([jnp.atleast_1d(nrec), e, f, g])
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _pack_segment_results(mask, es, fs, gs, e, f, g, k):
     """One-transfer segment summary: [nrec, e|f|g flush carry, first k
-    compacted records] as a flat int32 vector."""
+    compacted records] as a flat int32 vector.  (Legacy full-grid path,
+    kept for probes; production scans emit records in-scan instead.)"""
     recs = _compact_records(mask, es, fs, gs)
     nrec = jnp.sum(mask).astype(jnp.int32)
     return jnp.concatenate([nrec[None], e, f, g, recs[:, :k].reshape(-1)])
@@ -946,8 +981,57 @@ class DeviceMatcher:
 
     def __init__(self, Xp: np.ndarray):
         from ..core import native
-        from .build import pad_to
         M, N = Xp.shape
+        self._shape_init(M, N)
+        xp_bits = bitpack_rows(Xp)
+        nb = 4 * self.Ng
+        # pad rows with duplicates of row 0 (invisible to set-maximal
+        # structure; ids >= M filtered from reports); pad site bytes zero
+        xp_pad = native.pooled_view((self.Mp, nb), np.uint8, "match:xp_pad")
+        xp_pad[:] = 0
+        xp_pad[:M, :xp_bits.shape[1]] = xp_bits
+        xp_pad[M:] = xp_pad[0]
+        self._finish_init(jnp.asarray(xp_pad))
+
+    @classmethod
+    def from_pbwt(cls, p, chunk_sites: int = 512):
+        """Build the matcher straight from a packed PBWT, streaming the
+        pack3 stream in site chunks — peak host memory O(M * chunk), the
+        reference's own cursor memory model (pbwtCore.c:527-585) — instead
+        of materialising the (M, N) haplotype matrix (2 GB dense on the
+        README's 100k x 20k panel).  The device payload (bit-packed rows)
+        is assembled chunk-by-chunk on device."""
+        from ..core import native
+        self = cls.__new__(cls)
+        M, N = p.M, p.N
+        self._shape_init(M, N)
+        Mp, nb = self.Mp, 4 * self.Ng
+        a = np.ascontiguousarray(
+            p.aFstart if p.aFstart is not None
+            else np.arange(M, dtype=np.int32), np.int32)
+        chunk_sites = max(8 * ((chunk_sites + 7) // 8), 8)  # byte-aligned
+        pos = 0
+        parts = []
+        for k0 in range(0, N, chunk_sites):
+            nc = min(chunk_sites, N - k0)
+            out = native.natural_cols(p.yz, nc, M, a, start=pos,
+                                      with_pos=True)
+            if out is None:               # no native lib: dense fallback
+                return cls(p.haplotypes())
+            Xc, a, _, pos = out
+            bits = np.packbits(native.transpose_u8(Xc), axis=1)  # (M, nc/8)
+            pad = np.empty((Mp, bits.shape[1]), np.uint8)
+            pad[:M] = bits
+            pad[M:] = bits[0]
+            parts.append(jnp.asarray(pad))
+        nb_have = sum(int(x.shape[1]) for x in parts)
+        if nb_have < nb:
+            parts.append(jnp.zeros((Mp, nb - nb_have), jnp.uint8))
+        self._finish_init(jnp.concatenate(parts, axis=1))
+        return self
+
+    def _shape_init(self, M: int, N: int) -> None:
+        from .build import pad_to
         self.M, self.N = M, N
         Mp = pad_to(M, 4096)
         if Mp > 128 * _kernel_rmax():
@@ -961,15 +1045,12 @@ class DeviceMatcher:
         self.gseg = min(max(_SNAP_BYTES // (4 * Mp * GROUP), 1), Ng)
         self.nseg = -(-Ng // self.gseg)
 
-        xp_bits = bitpack_rows(Xp)
+    def _finish_init(self, xp_pad_d) -> None:
+        """Derive the device panel state from the (Mp, nb) bit-packed
+        rows: group words, row words and (budget permitting) the standing
+        trajectory."""
+        Mp, Ng = self.Mp, self.Ng
         nb = 4 * Ng
-        # pad rows with duplicates of row 0 (invisible to set-maximal
-        # structure; ids >= M filtered from reports); pad site bytes zero
-        xp_pad = native.pooled_view((Mp, nb), np.uint8, "match:xp_pad")
-        xp_pad[:] = 0
-        xp_pad[:M, :xp_bits.shape[1]] = xp_bits
-        xp_pad[M:] = xp_pad[0]
-        xp_pad_d = jnp.asarray(xp_pad)
         self.xp_words = jax.lax.bitcast_convert_type(
             xp_pad_d.reshape(Mp, nb // 4, 4), jnp.int32)
         self.W_all = _panel_words_from_bits(xp_pad_d)
@@ -992,7 +1073,19 @@ class DeviceMatcher:
 
     def _match_indexed(self, Xq: np.ndarray):
         """Query batch against the precomputed trajectory (one device scan
-        + the same one-transfer record fetch as the segment path)."""
+        + the same one-transfer record fetch as the segment path).
+
+        Every program on this path lowers to pure XLA (the panel advance
+        already ran in panel_trajectory), so the per-Q scan compiles run
+        under the persistent cache scope — a later process (e.g. the
+        driver's bench run) reuses them instead of paying the multi-minute
+        XLA compile per query width."""
+        from .. import ops as _ops
+
+        with _ops.xla_cache_scope():
+            return self._match_indexed_impl(Xq)
+
+    def _match_indexed_impl(self, Xq: np.ndarray):
         from ..core import native
         M, N, Mp, Q = self.M, self.N, self.Mp, Xq.shape[0]
         A_all, D8, DR, U8, C = self.traj
@@ -1009,22 +1102,22 @@ class DeviceMatcher:
         qcols[:N] = Xq.T
         qcols[N:] = 0
 
-        (e, f, g), mask, es, fs, gs = match_scan_indexed(
-            U8, D8, DR, A_all, C, jnp.asarray(qcols),
-            jnp.asarray(xq_words_np), self.xp_words,
-            jnp.zeros(Q, jnp.int32), jnp.zeros(Q, jnp.int32),
-            jnp.full(Q, Mp, jnp.int32))
-        khead = min(_REC_HEAD, Ns * Q)
-        packed = np.asarray(_pack_segment_results(mask, es, fs, gs,
-                                                  e, f, g, k=khead))
-        nrec = int(packed[0])
-        e_h, f_h, g_h = packed[1:1 + 3 * Q].reshape(3, Q)
-        rec = packed[1 + 3 * Q:].reshape(4, khead)
-        if nrec > khead:
-            recs = _compact_records(mask, es, fs, gs)
-            npad = min(_pow2_pad(nrec), int(recs.shape[1]))
-            rec = np.asarray(recs[:, :npad])
-        si_h, se_h, sf_h, sg_h = rec[:, :nrec]
+        cap = _REC_CAP
+        while True:
+            (e, f, g), recbuf, nrec_d = match_scan_indexed(
+                U8, D8, DR, A_all, C, jnp.asarray(qcols),
+                jnp.asarray(xq_words_np), self.xp_words,
+                jnp.zeros(Q, jnp.int32), jnp.zeros(Q, jnp.int32),
+                jnp.full(Q, Mp, jnp.int32), cap=cap)
+            packed = np.asarray(_pack_flush(e, f, g, nrec_d))
+            nrec = int(packed[0])
+            if nrec <= cap - _RC:
+                break
+            cap = _pow2_pad(nrec + _RC)       # overflow: re-run larger
+        e_h, f_h, g_h = packed[1:].reshape(3, Q)
+        npad = min(_pow2_pad(max(nrec, 1)), cap)
+        rec = np.asarray(recbuf[:npad])
+        si_h, se_h, sf_h, sg_h = (rec[:nrec, i] for i in range(4))
 
         rec_idx, rec_meta = self._record_indices(si_h, se_h, sf_h, sg_h,
                                                  0, Q, Mp)
@@ -1060,6 +1153,17 @@ class DeviceMatcher:
     def match(self, Xq: np.ndarray):
         if self.traj is not None:
             return self._match_indexed(Xq)
+        cap = _REC_CAP
+        while True:
+            rows = self._match_segmented(Xq, cap)
+            if rows is not None:
+                return rows
+            cap *= 2                          # record buffer overflowed
+
+    def _match_segmented(self, Xq: np.ndarray, cap: int):
+        """Interleaved panel-advance path (panels whose trajectory exceeds
+        the HBM budget).  Returns rows, or None when the collapse-record
+        buffer overflowed (caller re-runs with a larger cap)."""
         M, N, Mp, Q = self.M, self.N, self.Mp, Xq.shape[0]
         xq_bits = bitpack_rows(Xq)
         xq_words_np = np.zeros((Q, self.nw), np.int32)
@@ -1076,28 +1180,33 @@ class DeviceMatcher:
                  jnp.zeros(Q, dtype=jnp.int32),
                  jnp.zeros(Q, dtype=jnp.int32),
                  jnp.full(Q, Mp, dtype=jnp.int32),
+                 jnp.int32(0),
+                 jnp.full((cap, 4), -1, jnp.int32),
                  jnp.int32(0))
 
         out_rows: list[np.ndarray] = []
+        prev = 0
         for seg in range(self.nseg):
             base = seg * self.gseg * GROUP
             last = seg == self.nseg - 1
             Wd = self.W_all[seg * self.gseg:(seg + 1) * self.gseg]
             qd = jnp.asarray(qcols[base:base + self.gseg * GROUP])
-            carry, mask, es, fs, gs, snaps = match_scan_segment(
+            carry, snaps = match_scan_segment(
                 Wd, qd, xq_words, self.xp_words, carry)
-            # one transfer: record count, flush carry, leading records
-            khead = min(_REC_HEAD, self.gseg * GROUP * Q)
-            packed = np.asarray(_pack_segment_results(
-                mask, es, fs, gs, carry[2], carry[3], carry[4], k=khead))
-            nrec = int(packed[0])
-            e_h, f_h, g_h = packed[1:1 + 3 * Q].reshape(3, Q)
-            rec = packed[1 + 3 * Q:].reshape(4, khead)
-            if nrec > khead:                      # rare: fetch the tail
-                recs = _compact_records(mask, es, fs, gs)
-                npad = min(_pow2_pad(nrec), int(recs.shape[1]))
-                rec = np.asarray(recs[:, :npad])
-            si_h, se_h, sf_h, sg_h = rec[:, :nrec]
+            # one small transfer: record count + flush carry
+            packed = np.asarray(_pack_flush(carry[2], carry[3], carry[4],
+                                            carry[7]))
+            ncum = int(packed[0])
+            if ncum > cap - _RC:
+                return None                   # overflowed mid-scan
+            e_h, f_h, g_h = packed[1:].reshape(3, Q)
+            npad = min(_pow2_pad(max(ncum, 1)), cap)
+            rec = np.asarray(carry[6][:npad])[prev:ncum]
+            # records store si = k_global*Q + q; _record_indices wants
+            # the segment-relative flat index
+            si_h = rec[:, 0] - base * Q
+            se_h, sf_h, sg_h = rec[:, 1], rec[:, 2], rec[:, 3]
+            prev = ncum
 
             # build both gather index sets, run them in one device call
             rec_idx, rec_meta = self._record_indices(si_h, se_h, sf_h, sg_h,

@@ -36,6 +36,10 @@ def main():
     t_init = time.perf_counter() - t0
     print(f"init_s={t_init:.1f}", flush=True)
 
+    if matcher.traj is None:
+        sys.exit(f"traj not built: panel exceeds the PBWT_TPU_TRAJ_BYTES "
+                 f"budget ({match_jax._traj_bytes()} bytes) at M={M}, "
+                 f"N={N} — raise the budget or probe a smaller panel")
     A_all, D8, DR, U8, C = matcher.traj
 
     @jax.jit

@@ -101,6 +101,29 @@ def test_segment_matcher_blocked_kernel(monkeypatch):
     assert np.array_equal(rows_mono, rows_blk)
 
 
+def test_from_pbwt_equals_dense():
+    """DeviceMatcher.from_pbwt (pack3-streamed panel upload, O(M*chunk)
+    host bytes) builds the exact same device state as the dense
+    constructor: identical rows, including a ragged (non-multiple-of-
+    chunk) site count and a non-identity aFstart."""
+    from pbwt_tpu.ops import match_jax
+    rng = np.random.RandomState(13)
+    M, N, Q = 300, 100, 12            # N=100: ragged vs chunk_sites=32
+    Xp = mosaic(17, M, N)
+    Xq = np.empty((Q, N), np.uint8)
+    for q in range(Q):
+        pos = 0
+        while pos < N:
+            seg = rng.randint(10, 40)
+            Xq[q, pos:pos + seg] = Xp[rng.randint(0, M), pos:pos + seg]
+            pos += seg
+    p = PBWT.from_haplotypes(Xp)
+    m_stream = match_jax.DeviceMatcher.from_pbwt(p, chunk_sites=32)
+    m_dense = match_jax.DeviceMatcher(Xp)
+    assert np.array_equal(np.asarray(m_stream.match(Xq)),
+                          np.asarray(m_dense.match(Xq)))
+
+
 def test_blocked_partition_step_parity():
     """partition_ad_step_blocked == partition_ad_step on random planes,
     including skewed all-zero/all-one key columns."""
