@@ -131,8 +131,18 @@ def tpu_main():
     Mp = dbuild.pad_to(M, 4096 if on_tpu else 256)
     W_host = build_words(M, N, Mp)
     trace("panel words built")
-    w_dev = jnp.asarray(W_host)
-    np.asarray(w_dev[0, :1])               # force the upload
+    # chunked upload: one 134 MB transfer intermittently stalls the
+    # tunneled backend (two hung bench runs, ONCHIP_R5.log) while ~16 MB
+    # transfers go through; concatenate on device
+    CH = max(1, (16 << 20) // (4 * Mp))
+    parts = []
+    for g0 in range(0, W_host.shape[0], CH):
+        parts.append(jnp.asarray(W_host[g0:g0 + CH]))
+        jax.block_until_ready(parts[-1])
+        trace(f"panel chunk {g0 // CH + 1}/{-(-W_host.shape[0] // CH)} up")
+    w_dev = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    jax.block_until_ready(w_dev)
+    del parts
     trace(f"panel uploaded ({W_host.nbytes >> 20} MB)")
     a0 = jnp.arange(Mp, dtype=jnp.int32)
 

@@ -2259,6 +2259,60 @@ EXPORT long format_f4_row(const double *v, long n, char *out)
 /* multi-PBWT merge core (pbwtMerge.c:129-208)                          */
 /* ------------------------------------------------------------------ */
 
+/* fused cursor step for merge readers: decode one pack3 column run by
+   run, scatter its values into the natural segment (xnat, or NULL to
+   discard) and stable-partition the prefix array in the same pass — no
+   intermediate y buffer, value known per run so the inner loops are
+   branch-free.  Returns 0, -1 on a corrupt stream. */
+static long p3_scatter_fwd(const uint8_t *yz, long nz, long *pos_io,
+                           int32_t *a, int32_t *ones, long M,
+                           uint8_t *xnat)
+{
+    if (!p3dec_ready) p3dec_init();
+    long pos = *pos_io, m = 0, u = 0, v = 0;
+    while (m < M) {
+        if (pos >= nz) return -1;
+        uint8_t b = yz[pos++];
+        long n = p3dec[b & 0x7f];
+        if (m + n > M) return -1;
+        long e = m + n;
+        if (b >> 7) {
+            if (xnat) for (; m < e; ++m) { int32_t ai = a[m]; xnat[ai] = 1; ones[v++] = ai; }
+            else      for (; m < e; ++m) ones[v++] = a[m];
+        } else {
+            if (xnat) for (; m < e; ++m) { int32_t ai = a[m]; xnat[ai] = 0; a[u++] = ai; }
+            else      for (; m < e; ++m) a[u++] = a[m];
+        }
+    }
+    memcpy(a + u, ones, v * sizeof(int32_t));
+    *pos_io = pos;
+    return 0;
+}
+
+/* fused output step: gather the merged column through a_out, run-length
+   encode it (exactly p3_encode's greedy emission) and stable-partition
+   a_out, all in one pass.  Returns bytes written to runbuf. */
+static long gather_encode_fwd(int32_t *a, long M, const uint8_t *xnat,
+                              int32_t *ones, uint8_t *runbuf)
+{
+    long u = 0, v = 0, nb = 0, run = 0;
+    uint8_t cur = 0;
+    for (long j = 0; j < M; ++j) {
+        int32_t aj = a[j];
+        uint8_t yv = xnat[aj];
+        if (run && yv == cur) ++run;
+        else {
+            if (run) nb += emit_run(cur, run, runbuf + nb);
+            cur = yv;
+            run = 1;
+        }
+        if (yv == 0) a[u++] = aj; else ones[v++] = aj;
+    }
+    if (run) nb += emit_run(cur, run, runbuf + nb);
+    memcpy(a + u, ones, v * sizeof(int32_t));
+    return nb;
+}
+
 /* One streaming pass over nf pack3 inputs.  The site-level key walk
    (duplicate collapse, intersection — pbwt_reader_next,
    pbwtMerge.c:78-127) runs in Python over the sites lists; this core
@@ -2269,9 +2323,14 @@ EXPORT long format_f4_row(const double *v, long n, char *out)
    file's starting prefix array (aFstart or identity), consumed/updated
    in place; a_out is the output prefix array (identity-seeded by the
    caller), left at aFend.  Emits pack3 bytes of the merged PBWT
-   (cap-bounded; returns needed bytes, or -1 on malloc/stream failure). */
+   (cap-bounded; returns needed bytes, or -1 on malloc/stream failure).
+
+   Unlike the reference's cursor pipeline (unpack + forwardsA + scatter,
+   then gather + pack3 + forwardsA — pbwtMerge.c:176-201), each side here
+   is ONE fused pass: decode/scatter/partition per reader and
+   gather/encode/partition on the output. */
 EXPORT long merge_core(long nf,
-                       const uint8_t *yz_all, const int64_t *nz_off,
+                       const uint8_t **yzs, const int64_t *nzs,
                        const int64_t *Ms, const int64_t *a_off,
                        const uint8_t *act_all, const int64_t *act_off,
                        int32_t *a_all, long n_emit,
@@ -2279,43 +2338,34 @@ EXPORT long merge_core(long nf,
 {
     long Mtot = 0;
     for (long f = 0; f < nf; ++f) Mtot += Ms[f];
-    colsrc *cs = (colsrc *)malloc(nf * sizeof(colsrc));
     long *cpos = (long *)calloc(nf, sizeof(long));
+    long *bpos = (long *)calloc(nf, sizeof(long));
     uint8_t *ynat = (uint8_t *)malloc(Mtot);
-    uint8_t *yb = (uint8_t *)malloc(Mtot);
     int32_t *ones = (int32_t *)malloc(Mtot * sizeof(int32_t));
     uint8_t *runbuf = (uint8_t *)malloc(Mtot + 8);
-    long nout = 0, rc = -1, nopen = 0;
-    if (!cs || !cpos || !ynat || !yb || !ones || !runbuf) goto done;
-    for (long f = 0; f < nf; ++f, ++nopen)
-        if (!cs_packed(&cs[f], yz_all + nz_off[f],
-                       nz_off[f + 1] - nz_off[f], Ms[f])) goto done;
+    long nout = 0, rc = -1;
+    if (!cpos || !bpos || !ynat || !ones || !runbuf) goto done;
     for (long e = 0; e < n_emit; ++e) {
         long off = 0;
         for (long f = 0; f < nf; ++f) {
             int32_t *af = a_all + a_off[f];
             const uint8_t *acts = act_all + act_off[f];
-            const uint8_t *y;
             while (!acts[cpos[f]]) {            /* discarded keys: advance */
-                if (!(y = cs_next(&cs[f], 0))) goto done;
-                fwd_a(af, y, ones, Ms[f]);
+                if (p3_scatter_fwd(yzs[f], nzs[f], &bpos[f], af, ones,
+                                   Ms[f], NULL) < 0) goto done;
                 cpos[f]++;
             }
-            if (!(y = cs_next(&cs[f], 0))) goto done;
-            for (long j = 0; j < Ms[f]; ++j) ynat[off + af[j]] = y[j];
-            fwd_a(af, y, ones, Ms[f]);
+            if (p3_scatter_fwd(yzs[f], nzs[f], &bpos[f], af, ones,
+                               Ms[f], ynat + off) < 0) goto done;
             cpos[f]++;
             off += Ms[f];
         }
-        for (long j = 0; j < Mtot; ++j) yb[j] = ynat[a_out[j]];
-        long nb = p3_encode(yb, Mtot, runbuf);
+        long nb = gather_encode_fwd(a_out, Mtot, ynat, ones, runbuf);
         if (nout + nb <= cap) memcpy(yz_out + nout, runbuf, nb);
         nout += nb;
-        fwd_a(a_out, yb, ones, Mtot);
     }
     rc = nout;
 done:
-    for (long f = 0; f < nopen; ++f) cs_free(&cs[f]);
-    free(cs); free(cpos); free(ynat); free(yb); free(ones); free(runbuf);
+    free(cpos); free(bpos); free(ynat); free(ones); free(runbuf);
     return rc;
 }

@@ -630,7 +630,7 @@ def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
     # keys; only the dosage tallies still walk sites, to stream the RLE)
     Xp = p.haplotypes()
     Xq = q.haplotypes()
-    fsite = Xp.astype(np.int64).sum(axis=0) / p.M     # allele-1 fraction
+    fsite = Xp.sum(axis=0, dtype=np.int64) / p.M      # allele-1 fraction
     rf = np.array([s.refFreq for s in p.sites], dtype=np.float64)
     is_ref_freq = bool((rf != 0.0).any())
     f_arr = np.where(rf != 0.0, rf, fsite)

@@ -173,8 +173,8 @@ def get_lib():
     lib.format_f4_row.restype = L
     lib.format_f4_row.argtypes = [f64p, L, ctypes.c_char_p]
     lib.merge_core.restype = L
-    lib.merge_core.argtypes = [L, u8p, i64p, i64p, i64p, u8p, i64p, i32p, L,
-                               i32p, u8p, L]
+    lib.merge_core.argtypes = [L, ctypes.POINTER(ctypes.c_void_p), i64p,
+                               i64p, i64p, u8p, i64p, i32p, L, i32p, u8p, L]
     _lib = lib
     return _lib
 
@@ -409,9 +409,11 @@ def merge_core(yzs: list[bytes], Ms: list[int], a0s: list[np.ndarray],
         return None
     nf = len(yzs)
     Mtot = int(sum(Ms))
-    yz_all = np.frombuffer(b"".join(bytes(z) for z in yzs), np.uint8)
-    nz_off = np.zeros(nf + 1, np.int64)
-    np.cumsum([len(z) for z in yzs], out=nz_off[1:])
+    # zero-copy input streams: per-file pointers into the caller's own
+    # bytes objects (kept alive by `views` for the duration of the call)
+    views = [np.frombuffer(z, np.uint8) for z in yzs]
+    ptrs = (ctypes.c_void_p * nf)(*[v.ctypes.data for v in views])
+    nzs = np.asarray([len(v) for v in views], np.int64)
     Ms_arr = np.asarray(Ms, np.int64)
     a_off = np.zeros(nf + 1, np.int64)
     np.cumsum(Ms_arr, out=a_off[1:])
@@ -422,10 +424,12 @@ def merge_core(yzs: list[bytes], Ms: list[int], a0s: list[np.ndarray],
     act_off = np.zeros(nf + 1, np.int64)
     np.cumsum([len(a) for a in acts], out=act_off[1:])
     a_out = np.arange(Mtot, dtype=np.int32)
-    cap = int(2 * nz_off[-1] + 32 * n_emit + 65536)
+    # shared emitted sites re-encode to about their input footprint; the
+    # retry loop covers the pathological case
+    cap = int(nzs.sum() + 32 * n_emit + 65536)
     while True:
-        yz_out = pooled(cap, "merge:yz_out")
-        n = lib.merge_core(nf, yz_all, nz_off, Ms_arr, a_off, act_all,
+        yz_out = np.empty(cap, np.uint8)
+        n = lib.merge_core(nf, ptrs, nzs, Ms_arr, a_off, act_all,
                            act_off, a_all.copy(), n_emit, a_out, yz_out, cap)
         if n < 0:
             raise ValueError("merge_core: corrupt pack3 stream")

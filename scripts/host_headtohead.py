@@ -20,6 +20,18 @@ import in every python process; measured interpreter floor without it is
 """
 
 import os
+
+# host-only workloads: never dial the (possibly dead) tunneled TPU from
+# this process or its children
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import subprocess
 import sys
 import time
@@ -91,17 +103,20 @@ def cmp_files(a, b, label):
         sys.exit(1)
 
 
-def write_panel(path_root, M, N, seed, missing_rate=0.0, chrom="20"):
+def write_panel(path_root, M, N, seed, pos_seed=None, chrom="20"):
     """Deterministic beta-frequency panel written as .pbwt/.sites via our
-    writer (format byte-parity with the reference is pinned in-suite)."""
+    writer (format byte-parity with the reference is pinned in-suite).
+    ``pos_seed`` fixes the site positions/frequencies independently of the
+    haplotype draw so two panels can share their site list (merge)."""
     from pbwt_tpu.core import registry
     from pbwt_tpu.core.pbwt import PBWT, Site
     from pbwt_tpu.io import pbwtfile
-    rng = np.random.RandomState(seed)
-    freqs = rng.beta(0.2, 0.8, size=N)
-    pos = np.sort(rng.choice(np.arange(1, max(10_000_000, 2 * N)), N,
-                             replace=False))
+    rng_s = np.random.RandomState(seed if pos_seed is None else pos_seed)
+    freqs = rng_s.beta(0.2, 0.8, size=N)
+    pos = np.sort(rng_s.choice(np.arange(1, max(10_000_000, 2 * N)), N,
+                               replace=False))
     als = ["A\tC", "A\tG", "C\tT", "G\tT"]
+    rng = np.random.RandomState(seed)
     X = (rng.random_sample((M, N)) < freqs[None, :]).astype(np.uint8)
     p = PBWT.from_haplotypes(X)
     p.chrom = chrom
@@ -136,8 +151,8 @@ def h2h_merge(reps):
     d = os.path.join(WORKDIR, "merge")
     os.makedirs(d, exist_ok=True)
     if not os.path.exists(os.path.join(d, "in1.pbwt")):
-        write_panel(os.path.join(d, "in0"), 5000, 10000, 3)
-        write_panel(os.path.join(d, "in1"), 5000, 10000, 4)
+        write_panel(os.path.join(d, "in0"), 5000, 10000, 3, pos_seed=3)
+        write_panel(os.path.join(d, "in1"), 5000, 10000, 4, pos_seed=3)
     rb = ref_bin()
     run_timed("ref", [rb, "-merge", "in0.pbwt", "in1.pbwt", "-write",
                       "ref.pbwt", "-writeSites", "ref.sites"], reps, d)
