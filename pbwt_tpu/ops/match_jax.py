@@ -826,6 +826,38 @@ def _pack_flush(e, f, g, nrec):
     return jnp.concatenate([jnp.atleast_1d(nrec), e, f, g])
 
 
+@functools.partial(jax.jit, static_argnames=("head",))
+def _pack_flush_rec(e, f, g, nrec, recbuf, head):
+    """One-transfer scan tail + speculative record head: [nrec, e|f|g,
+    first `head` record rows].  When the caller's head guess (previous
+    call's record count) holds, the whole result needs ONE tunnel
+    round-trip — the separate flush + record fetches cost ~40 ms of
+    latency each on the tunneled backend."""
+    return jnp.concatenate([jnp.atleast_1d(nrec), e, f, g,
+                            recbuf[:head].reshape(-1)])
+
+
+@functools.partial(jax.jit, static_argnames=("ns",))
+def _qcols_from_words(xq_words, ns):
+    """Derive the (Ns, Q) per-site query allele columns ON DEVICE from the
+    row-packed words (pack_row_words layout: site j lives in word j>>5 at
+    bit 8*((j>>3)&3) + 7-(j&7)).  Site k of every query reads the same
+    word/bit, so the word index is the static pattern repeat(arange(NW),
+    32) — a reshape, not a gather.  Uploading the 1-byte-per-site dense
+    qcols instead cost ~374 ms at Q=4096 through the tunnel; the packed
+    words are 1/8 the bytes and are uploaded anyway for the resets."""
+    NW = xq_words.shape[1]
+    Q = xq_words.shape[0]
+    take = min(ns, NW * 32)
+    wt = jnp.repeat(xq_words.T, 32, axis=0)[:take]        # (take, Q)
+    j = jnp.arange(take, dtype=jnp.int32)
+    shift = (8 * ((j >> 3) & 3) + 7 - (j & 7))[:, None]
+    out = ((wt >> shift) & 1).astype(jnp.uint8)
+    if ns > take:                       # segment padding beyond the words
+        out = jnp.concatenate([out, jnp.zeros((ns - take, Q), jnp.uint8)])
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _pack_segment_results(mask, es, fs, gs, e, f, g, k):
     """One-transfer segment summary: [nrec, e|f|g flush carry, first k
@@ -834,6 +866,70 @@ def _pack_segment_results(mask, es, fs, gs, e, f, g, k):
     recs = _compact_records(mask, es, fs, gs)
     nrec = jnp.sum(mask).astype(jnp.int32)
     return jnp.concatenate([nrec[None], e, f, g, recs[:, :k].reshape(-1)])
+
+
+@jax.jit
+def _pack_flush_total(e, f, g, nrec, recbuf):
+    """Tiny scan tail: [nrec, total expanded rows].  total counts every
+    record's interval width plus the k=N flush widths, so the caller can
+    size the device expansion bucket with one small fetch."""
+    cap = recbuf.shape[0]
+    ridx = jnp.arange(cap, dtype=jnp.int32)
+    w = jnp.where(ridx < nrec,
+                  jnp.clip(recbuf[:, 3] - recbuf[:, 2], 0, None), 0)
+    total = w.sum() + jnp.clip(g - f, 0, None).sum()
+    return jnp.stack([nrec, total])
+
+
+@functools.partial(jax.jit, static_argnames=("n_sites", "tpad"))
+def _expand_rows_device(A_all, recbuf, nrec, e, f, g, n_sites, tpad):
+    """Expand collapse records + the k=N flush into output rows ON DEVICE.
+
+    Returns (tpad, 4) int32 rows (q, panel_hap, e, k) in record order
+    (site-major records, then flush rows), with q = -1 on padding beyond
+    the true total.  Replaces the old host round-trips — fetch records
+    (4 MB at Q=4096), upload gather indices, fetch ids — with one fetch
+    of the final rows; the tunneled link moves ~16 MB/s, so bytes saved
+    are milliseconds saved.
+
+    The flush is appended as Q virtual records with si = Ns*Q + q, whose
+    k = si // Q = Ns indexes A_all's final row; the emitted k column
+    reports n_sites (= N) for them — the k = N semantics of the sweep's
+    end flush (pbwtMatch.c:430-436)."""
+    Q = e.shape[0]
+    Ns, Mp = A_all.shape[0] - 1, A_all.shape[1]
+    cap = recbuf.shape[0]
+    si_fl = Ns * Q + jnp.arange(Q, dtype=jnp.int32)
+    fl = jnp.stack([si_fl, e, f, g], axis=1)
+    allrec = jnp.concatenate([recbuf, fl])               # (cap + Q, 4)
+    ridx = jnp.arange(cap + Q, dtype=jnp.int32)
+    active = (ridx < nrec) | (ridx >= cap)
+    w = jnp.where(active,
+                  jnp.clip(allrec[:, 3] - allrec[:, 2], 0, None), 0)
+    incl = jnp.cumsum(w)
+    offs = incl - w                                      # exclusive
+    total = incl[-1]
+    # row -> record map: scatter each nonempty record's allrec INDEX at
+    # its start offset, cumulative max (record starts are strictly
+    # increasing in both offset and index, so the running max at row t is
+    # exactly the record covering t); rows before the first record stay
+    # -1, rows past `total` inherit the last record — both masked below
+    nz = (w > 0) & (offs < tpad)
+    marks = jnp.full(tpad, -1, jnp.int32).at[
+        jnp.where(nz, offs, tpad - 1)].max(jnp.where(nz, ridx, -1))
+    r = jax.lax.associative_scan(jnp.maximum, marks)
+    rows_t = jnp.arange(tpad, dtype=jnp.int32)
+    rc = jnp.clip(r, 0, cap + Q - 1)
+    rec = allrec[rc]                                     # (tpad, 4)
+    off_in = rows_t - offs[rc]
+    k = rec[:, 0] // Q
+    q = rec[:, 0] - k * Q
+    ids = A_all.reshape(-1)[jnp.clip(k * Mp + rec[:, 2] + off_in, 0,
+                                     (Ns + 1) * Mp - 1)]
+    valid = (rows_t < total) & (r >= 0)
+    k_out = jnp.where(rc >= cap, n_sites, k)
+    return jnp.stack([jnp.where(valid, q, -1), ids, rec[:, 1], k_out],
+                     axis=1)
 
 
 @jax.jit
@@ -1044,6 +1140,9 @@ class DeviceMatcher:
         self.Ng = Ng = (N + GROUP - 1) // GROUP
         self.gseg = min(max(_SNAP_BYTES // (4 * Mp * GROUP), 1), Ng)
         self.nseg = -(-Ng // self.gseg)
+        # per-query-width record-buffer sizing learned across calls:
+        # {Q: (cap, fetch-head hint)}
+        self._qstate: dict = {}
 
     def _finish_init(self, xp_pad_d) -> None:
         """Derive the device panel state from the (Mp, nb) bit-packed
@@ -1092,71 +1191,50 @@ class DeviceMatcher:
         Ns = U8.shape[0]
         xq_bits = bitpack_rows(Xq)
         # pooled buffers: the sandbox faults fresh pages at ~14-80 MB/s,
-        # so a per-call np.zeros((Ns, Q)) would cost tens of ms by itself
+        # so a per-call np.zeros would cost tens of ms by itself
         xq_words_np = native.pooled_view((Q, self.nw), np.int32,
                                          "match:xq_words")
         xq_words_np[:] = 0
         w = pack_row_words(xq_bits)
         xq_words_np[:, :min(w.shape[1], self.nw)] = w[:, :self.nw]
-        qcols = native.pooled_view((Ns, Q), np.uint8, "match:qcols")
-        qcols[:N] = Xq.T
-        qcols[N:] = 0
+        xq_words_d = jnp.asarray(xq_words_np)
+        # qcols derive on device from the packed words (1/8 the upload)
+        qcols_d = _qcols_from_words(xq_words_d, ns=Ns)
 
-        cap = _REC_CAP
+        # cap per query width: deterministic first guess sized to the
+        # domain (~50 collapse records per query on mosaic queries),
+        # grown only upward so the scan never recompiles twice for the
+        # same Q; a first call that still overflows re-runs once
+        cap, _ = self._qstate.get(
+            Q, (_pow2_pad(max(_REC_CAP, 128 * Q)), 0))
         while True:
             (e, f, g), recbuf, nrec_d = match_scan_indexed(
-                U8, D8, DR, A_all, C, jnp.asarray(qcols),
-                jnp.asarray(xq_words_np), self.xp_words,
+                U8, D8, DR, A_all, C, qcols_d, xq_words_d, self.xp_words,
                 jnp.zeros(Q, jnp.int32), jnp.zeros(Q, jnp.int32),
                 jnp.full(Q, Mp, jnp.int32), cap=cap)
-            packed = np.asarray(_pack_flush(e, f, g, nrec_d))
-            nrec = int(packed[0])
+            packed = np.asarray(_pack_flush_total(e, f, g, nrec_d, recbuf))
+            nrec, total = int(packed[0]), int(packed[1])
             if nrec <= cap - _RC:
                 break
             cap = _pow2_pad(nrec + _RC)       # overflow: re-run larger
-        e_h, f_h, g_h = packed[1:].reshape(3, Q)
-        npad = min(_pow2_pad(max(nrec, 1)), cap)
-        rec = np.asarray(recbuf[:npad])
-        si_h, se_h, sf_h, sg_h = (rec[:nrec, i] for i in range(4))
+        self._qstate[Q] = (cap, 0)
 
-        rec_idx, rec_meta = self._record_indices(si_h, se_h, sf_h, sg_h,
-                                                 0, Q, Mp)
-        fl_idx, fl_meta = self._flush_indices(e_h, f_h, g_h, N, Q)
-        n1, n2 = len(rec_idx), len(fl_idx)
-        out_rows: list[np.ndarray] = []
-        if n1 + n2:
-            p1 = _pow2_pad(max(n1, 1))
-            p2 = _pow2_pad(max(n2, 1)) if n2 else 1
-            i1 = np.zeros(p1, np.int32)
-            i1[:n1] = rec_idx
-            i2 = np.zeros(p2, np.int32)
-            # flush ids live in the last A_all row; offset into the flat
-            # table rather than slicing (A_all[:Ns] would copy ~GBs).
-            # Flat indices stay < 2^31: the trajectory budget caps
-            # Ns*Mp at _traj_bytes()/12 ~ 5e8.
-            i2[:n2] = fl_idx + Ns * Mp
-            ids = np.asarray(_gather_two(A_all, jnp.asarray(i1),
-                                         A_all, jnp.asarray(i2)))
-            if n1:
-                rows = rec_meta
-                rows[:, 1] = ids[:p1][:n1]
-                out_rows.append(rows)
-            if n2:
-                rows = fl_meta
-                rows[:, 1] = ids[p1:][:n2]
-                out_rows.append(rows)
-        if not out_rows:
-            return np.zeros((0, 4), np.int32)
-        allrows = np.concatenate(out_rows)
-        return allrows[allrows[:, 1] < M]
+        # expand records + flush to (q, hap, e, k) rows ON DEVICE and
+        # fetch them once (flat index bound: the trajectory budget caps
+        # (Ns+1)*Mp at ~5e8 < 2^31)
+        rows = np.asarray(_expand_rows_device(
+            A_all, recbuf, nrec_d, e, f, g, n_sites=N,
+            tpad=_pow2_pad(max(total, 1))))
+        return rows[(rows[:, 0] >= 0) & (rows[:, 1] < M)]
 
     def match(self, Xq: np.ndarray):
         if self.traj is not None:
             return self._match_indexed(Xq)
-        cap = _REC_CAP
+        cap, _ = self._qstate.get(("seg", Xq.shape[0]), (_REC_CAP, 0))
         while True:
             rows = self._match_segmented(Xq, cap)
             if rows is not None:
+                self._qstate[("seg", Xq.shape[0])] = (cap, 0)
                 return rows
             cap *= 2                          # record buffer overflowed
 
@@ -1172,8 +1250,7 @@ class DeviceMatcher:
         xq_words = jnp.asarray(xq_words_np)
 
         nsites = self.nseg * self.gseg * GROUP
-        qcols = np.zeros((nsites, Q), dtype=np.uint8)
-        qcols[:N] = Xq.T
+        qcols = _qcols_from_words(xq_words, ns=nsites)   # on device
 
         carry = (jnp.arange(Mp, dtype=jnp.int32),
                  jnp.zeros(Mp, dtype=jnp.int32).at[0].set(1),
@@ -1190,7 +1267,7 @@ class DeviceMatcher:
             base = seg * self.gseg * GROUP
             last = seg == self.nseg - 1
             Wd = self.W_all[seg * self.gseg:(seg + 1) * self.gseg]
-            qd = jnp.asarray(qcols[base:base + self.gseg * GROUP])
+            qd = qcols[base:base + self.gseg * GROUP]
             carry, snaps = match_scan_segment(
                 Wd, qd, xq_words, self.xp_words, carry)
             # one small transfer: record count + flush carry
