@@ -175,6 +175,7 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
     from ..core import native
     lib = native.get_lib()
     rows = None
+    seg_bundle = None      # (jr, s, e, seg_off) already target-sorted
     if lib is not None:
         # the whole match set as one ndarray: skips 400k+ python report
         # callbacks, list building and per-query sorting at scale
@@ -188,14 +189,28 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
             elif p_frame.yz and p_ref.yz:
                 a0f = (p_frame.aFstart if p_frame.aFstart is not None
                        else np.arange(p_frame.M, dtype=np.int32))
-                rows = native.max_within_packed(
+                # two-pass bucketed collection straight into per-target
+                # runs + in-place start sort: never materialises the
+                # (n, 4) int64 row set (58 MB at 1.8 M rows)
+                bk = native.max_within_bucketed(
                     p_frame.yz, p_frame.M, p_frame.N, a0f)
+                if bk is not None:
+                    sj, ss, se, off_b = bk
+                    native.buckets_sort_start(sj, ss, se, off_b)
+                    seg_bundle = (sj, ss, se, off_b)
+                    rows = True          # sentinel: match set collected
+                else:
+                    rows = native.max_within_packed(
+                        p_frame.yz, p_frame.M, p_frame.N, a0f)
         else:
             rows = matchmod.match_sequences_sweep_rows(p_frame, p_old)
     if rows is not None:
         max_match = None
         if registry.is_check:
-            cnts = np.bincount(rows[:, 0], minlength=p_old.M) + 1
+            if seg_bundle is not None:
+                cnts = np.diff(seg_bundle[3]) + 1
+            else:
+                cnts = np.bincount(rows[:, 0], minlength=p_old.M) + 1
             for j in range(p_old.M):
                 log(f"{int(cnts[j])} matches found to query {j}")
     else:
@@ -231,18 +246,6 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
             kold_of_kref[k_ref] = k_old
         T, Nref = p_old.M, p_ref.N
 
-        # one (n, 4) [j_target, j_ref, start, end] array, sorted by
-        # (target, start) as the per-target scans require (the reference
-        # qsorts each target's list by start, pbwtImpute.c:1150-1159; the
-        # weighted sums are order-independent within equal starts)
-        if rows is not None:
-            segments = rows[np.lexsort((rows[:, 2], rows[:, 0]))]
-        else:
-            segs = [(j, jr, s_, e_) for j in range(T)
-                    for jr, s_, e_ in max_match[j][:-1]]
-            segments = (np.asarray(segs, np.int64) if segs
-                        else np.zeros((0, 4), np.int64))
-
         from ..ops import device_requested
         use_device = False
         if device_requested():
@@ -252,21 +255,42 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
             except RuntimeError:
                 use_device = False
 
+        # segments must be sorted by (target, start) as the per-target
+        # scans require (the reference qsorts each target's list by
+        # start, pbwtImpute.c:1150-1159; the weighted sums are order-
+        # independent within equal starts).  The streaming-C route sorts
+        # in C (segs_sort, bucket scatter + per-bucket qsort); the other
+        # routes materialise a sorted (n, 4) array
+        if rows is None:
+            segs = [(j, jr, s_, e_) for j in range(T)
+                    for jr, s_, e_ in max_match[j][:-1]]
+            segments = (np.asarray(segs, np.int64) if segs
+                        else np.zeros((0, 4), np.int64))
+        elif use_device or lib is None or not p_ref.yz:
+            segments = rows[np.lexsort((rows[:, 2], rows[:, 0]))]
+        else:
+            segments = None                   # C route: sorted columns
+
         if not use_device and lib is not None and p_ref.yz:
             # the whole core as ONE streaming C pass with O(Mref + T) live
             # memory (the reference's cursor memory model): materialising
             # (Nref x T) / (Nref x Mref) intermediates costs more in page
             # faults than the votes cost in arithmetic on this host
-            counts = np.bincount(segments[:, 0], minlength=T) \
-                if len(segments) else np.zeros(T, np.int64)
-            seg_off = np.zeros(T + 1, np.int64)
-            np.cumsum(counts, out=seg_off[1:])
+            if segments is None:
+                jr_c, s_c, e_c, seg_off = native.segs_sort(rows, T)
+                seg_cols = (jr_c, s_c, e_c)
+            else:
+                counts = np.bincount(segments[:, 0], minlength=T) \
+                    if len(segments) else np.zeros(T, np.int64)
+                seg_off = np.zeros(T + 1, np.int64)
+                np.cumsum(counts, out=seg_off[1:])
+                seg_cols = None
             a_ref0 = (p_ref.aFstart if p_ref.aFstart is not None
                       else np.arange(p_ref.M, dtype=np.int32))
             (p_new.yz, p_new.zDosage, dos_off, ref_freq, psums, xsums,
              pxsums, nvote, n_conflicts, a_end) = native.impute_vote_emit(
                 p_ref.yz, p_ref.M, Nref, a_ref0, segments, seg_off, T,
-                kold_of_kref)
+                kold_of_kref, seg_cols=seg_cols)
             p_new.aFend = a_end
             p_new.N = Nref
             p_new.dosageOffset = dos_off
@@ -407,19 +431,19 @@ def reference_impute3(p_old: PBWT, p_ref: PBWT, p_frame: PBWT,
                     and rs.varD == frame_keys[k_old][1]):
                 k_old += 1
             kold_of_kref[k_ref] = k_old
-        segments = rows[np.lexsort((rows[:, 2], rows[:, 0]))]
-        counts = np.bincount(segments[:, 0], minlength=T) \
-            if len(segments) else np.zeros(T, np.int64)
-        seg_off = np.zeros(T + 1, np.int64)
-        np.cumsum(counts, out=seg_off[1:])
+        if seg_bundle is not None:
+            jr_c, s_c, e_c, seg_off = seg_bundle
+        else:
+            jr_c, s_c, e_c, seg_off = native.segs_sort(rows, T)
         a_ref0 = (p_ref.aFstart if p_ref.aFstart is not None
                   else np.arange(p_ref.M, dtype=np.int32))
         moff = (p_ref.missingOffset if p_ref.missingOffset is not None
                 else np.zeros(Nref, np.int64))
         (p_new.yz, p_new.zDosage, dos_off, ref_freq, psums, xsums,
          pxsums, nvote, n_conflicts, a_end) = native.impute_vote_emit(
-            p_ref.yz, p_ref.M, Nref, a_ref0, segments, seg_off, T,
-            kold_of_kref, p_ref.zMissing, moff)
+            p_ref.yz, p_ref.M, Nref, a_ref0, None, seg_off, T,
+            kold_of_kref, p_ref.zMissing, moff,
+            seg_cols=(jr_c, s_c, e_c))
         p_new.aFend = a_end
         p_new.N = Nref
         p_new.dosageOffset = dos_off

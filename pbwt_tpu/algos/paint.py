@@ -266,12 +266,24 @@ def paint_ancestry_matrix(p: PBWT, file_root: str, chunksperregion: int = 100,
     for f in (fc, fl, fc2, fc3):
         f.write("\n")
     fmt = native.format_f4_row if lib is not None else None
+    # all four tables formatted in four native calls (per-row ctypes
+    # overhead dominated the dense emitters)
+    rows_c = native.format_f4_rows(counts) if lib is not None else None
+    rows_l = native.format_f4_rows(totlengths) if rows_c else None
+    rows_2 = native.format_f4_rows(counts2) if rows_c else None
+    rows_3 = native.format_f4_rows(counts3) if rows_c else None
     for i in range(n_inds):
         fc3.write(f"IND{i + 1} {nregions[i]:.2f}")
         fc2.write(f"IND{i + 1} {nregions[i]:.2f}")
         fl.write(f"IND{i + 1}")
         fc.write(f"IND{i + 1}")
-        if fmt is not None:
+        if rows_c is not None:
+            fc.write(rows_c[i])
+            fl.write(rows_l[i])
+            fc2.write(rows_2[i])
+            fc3.write(rows_3[i])
+            tot_counts[i] += counts[i].sum()
+        elif fmt is not None:
             fc.write(fmt(counts[i]))
             fl.write(fmt(totlengths[i]))
             fc2.write(fmt(counts2[i]))

@@ -172,9 +172,15 @@ def get_lib():
                                       i32p, i64p]
     lib.format_f4_row.restype = L
     lib.format_f4_row.argtypes = [f64p, L, ctypes.c_char_p]
+    lib.format_f4_rows.restype = L
+    lib.format_f4_rows.argtypes = [f64p, L, L, ctypes.c_char_p, i64p]
     lib.merge_core.restype = L
     lib.merge_core.argtypes = [L, ctypes.POINTER(ctypes.c_void_p), i64p,
                                i64p, i64p, u8p, i64p, i32p, L, i32p, u8p, L]
+    lib.segs_sort.restype = L
+    lib.segs_sort.argtypes = [i64p, L, L, i32p, i32p, i32p, i64p]
+    lib.buckets_sort_start.restype = L
+    lib.buckets_sort_start.argtypes = [i32p, i32p, i32p, i64p, L]
     _lib = lib
     return _lib
 
@@ -379,6 +385,23 @@ def format_f4_row(vals: np.ndarray):
     return buf.raw[:n].decode()
 
 
+def format_f4_rows(table: np.ndarray):
+    """Whole (R, C) table as per-row ' %.4f' strings in ONE native call
+    (the per-row ctypes overhead dominated -paint's emitters).  Returns a
+    list of R strings, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    table = np.ascontiguousarray(table, np.float64)
+    R, C = table.shape
+    buf = pooled(16 * R * C + 16, "fmt_f4_rows")
+    offs = np.empty(R + 1, np.int64)
+    lib.format_f4_rows(table.reshape(-1), R, C,
+                       buf.ctypes.data_as(ctypes.c_char_p), offs)
+    raw = bytes(buf[:offs[R]])
+    return [raw[offs[r]:offs[r + 1]].decode() for r in range(R)]
+
+
 def pack_advance(y: np.ndarray, a: np.ndarray):
     """One write-cursor step (pbwtCursorWriteForwards, pbwtCore.c:573-578):
     pack3-encode the sorted column and advance ``a`` IN PLACE.  Returns the
@@ -464,10 +487,44 @@ def natural_cols(yz: bytes, ncols: int, M: int, a0: np.ndarray,
     return X, a, counts
 
 
+def segs_sort(rows: np.ndarray, T: int):
+    """Match rows (n, 4) int64 [j, jr, s, e] -> per-target start-sorted
+    i32 columns (jr, s, e) + seg_off (T+1,) int64, in one C pass.
+    Returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    n = len(rows)
+    jr = np.empty(n, np.int32)
+    s = np.empty(n, np.int32)
+    e = np.empty(n, np.int32)
+    seg_off = np.empty(T + 1, np.int64)
+    if lib.segs_sort(rows.reshape(-1), n, T, jr, s, e, seg_off) < 0:
+        raise MemoryError("segs_sort")
+    return jr, s, e, seg_off
+
+
+def buckets_sort_start(sj: np.ndarray, ss: np.ndarray, se: np.ndarray,
+                       seg_off: np.ndarray) -> bool:
+    """Sort already-bucketed (donor, start, end) runs by start, in place
+    (one C pass).  Returns False when the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    T = len(seg_off) - 1
+    if lib.buckets_sort_start(sj, ss, se,
+                              np.ascontiguousarray(seg_off, np.int64),
+                              T) < 0:
+        raise MemoryError("buckets_sort_start")
+    return True
+
+
 def impute_vote_emit(yzref: bytes, Mref: int, Nref: int, a_ref0: np.ndarray,
                      segments: np.ndarray, seg_off: np.ndarray, T: int,
                      kold: np.ndarray, zmiss: bytes | None = None,
-                     miss_off: np.ndarray | None = None):
+                     miss_off: np.ndarray | None = None,
+                     seg_cols=None):
     """The whole referenceImpute3 core (pbwtImpute.c:1184-1251) as one
     streaming C pass with O(Mref + T) live memory: decode panel column →
     natural scatter → weighted vote per target → pack3 + dosage-RLE emit →
@@ -502,11 +559,14 @@ def impute_vote_emit(yzref: bytes, Mref: int, Nref: int, a_ref0: np.ndarray,
     pxsums = np.empty(Nref, np.float64)
     nvote = np.empty(Nref, np.int64)
     lens = np.empty(2, np.int64)
+    if seg_cols is not None:
+        jr_c, s_c, e_c = seg_cols
+    else:
+        jr_c = np.ascontiguousarray(segments[:, 1], np.int32)
+        s_c = np.ascontiguousarray(segments[:, 2], np.int32)
+        e_c = np.ascontiguousarray(segments[:, 3], np.int32)
     conflicts = lib.impute_vote_emit(
-        buf, len(buf), Mref, Nref, a_ref,
-        np.ascontiguousarray(segments[:, 1], np.int32),
-        np.ascontiguousarray(segments[:, 2], np.int32),
-        np.ascontiguousarray(segments[:, 3], np.int32),
+        buf, len(buf), Mref, Nref, a_ref, jr_c, s_c, e_c,
         np.ascontiguousarray(seg_off, np.int64), first, T, a_tgt, kold,
         self_mode, zm, len(zm), mo,
         yz, yz_cap, zdos, zdos_cap, dos_off, ref_freq,

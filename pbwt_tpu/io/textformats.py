@@ -42,12 +42,15 @@ def read_vcfq(fp) -> PBWT:
         line = line.rstrip("\n")
         if not line:
             continue
-        fields = line.split("\t")
-        chrom, pos = fields[0], int(fields[1])
-        var = f"{fields[2]}\t{fields[3]}"
-        gt_text = "".join(fields[4:])
-        x = np.frombuffer(gt_text.replace("|", "").replace("/", "")
-                          .replace("\\", "").encode(), dtype=np.uint8) - ord("0")
+        # split only the 4 leading fields: a full split materialises ~2M
+        # strings per 1000 samples; allele values are the digit bytes of
+        # the genotype region in order (same result as the reference's
+        # per-token 0/1 walk, pbwtIO.c:511-554)
+        chrom, pos_s, ref_a, alt_a, gt_text = line.split("\t", 4)
+        pos = int(pos_s)
+        var = f"{ref_a}\t{alt_a}"
+        raw = np.frombuffer(gt_text.encode(), dtype=np.uint8)
+        x = raw[(raw >= ord("0")) & (raw <= ord("9"))] - ord("0")
         if p is None:
             p = PBWT(len(x), 0)
             if chrom != ".":

@@ -24,6 +24,12 @@ def device_requested(exact: bool = True) -> bool:
         return v not in ("", "0")
     if not exact:
         return False
+    # a process pinned to the host backend can answer without importing
+    # jax at all — the import alone costs ~1.2 s of bytecode compilation,
+    # which dominated host-only CLI pipelines that merely ASKED whether a
+    # device was present
+    if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return False
     return _tpu_backend_alive()
 
 
