@@ -2318,6 +2318,60 @@ static int cmp_u64(const void *a, const void *b)
 static void bucket_sort_runs(int32_t *jr, int32_t *s, int32_t *e,
                              const int64_t *seg_off, long T,
                              uint64_t *tmp, int32_t *scr);
+static long gather_encode_fwd(int32_t *a, long M, const uint8_t *xnat,
+                              int32_t *ones, uint8_t *runbuf);
+
+/* pbwtBuildReverse (pbwtCore.c:151-191) as one C pass: column byte
+   offsets from a forward run-length skim, then the backward stream —
+   per site, decode the column, invert the prefix-array step
+   (pbwtCursorBackwardsA, pbwtCore.c:472-483), scatter to natural, and
+   emit the reverse column through the fused gather/encode/partition
+   step.  aFend seeds both the backward chase and the reverse write
+   cursor (aRstart = aFend).  Returns zz bytes (cap-bounded; returns
+   needed size), leaves aRend in arend (in: seeded with aFend). */
+EXPORT long build_reverse_core(const uint8_t *yz, long nz, long M, long N,
+                               const int32_t *aFend, uint8_t *zz_out,
+                               long cap, int32_t *arend)
+{
+    if (!p3dec_ready) p3dec_init();
+    int64_t *off = (int64_t *)malloc((N + 1) * sizeof(int64_t));
+    int32_t *af = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *tmp = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    uint8_t *y = (uint8_t *)malloc(M);
+    uint8_t *x = (uint8_t *)malloc(M);
+    uint8_t *runbuf = (uint8_t *)malloc(M + 8);
+    long rc = -1, pos = 0, nout = 0;
+    if (!off || !af || !tmp || !ones || !y || !x || !runbuf) goto done;
+    for (long k = 0; k < N; ++k) {
+        off[k] = pos;
+        long m = 0;
+        while (m < M) {
+            if (pos >= nz) goto done;
+            m += p3dec[yz[pos++] & 0x7f];
+        }
+        if (m != M) goto done;
+    }
+    memcpy(af, aFend, M * sizeof(int32_t));
+    for (long k = N - 1; k >= 0; --k) {
+        if (p3_col_at(yz, nz, off[k], M, y) < 0) goto done;
+        long c = 0;
+        for (long i = 0; i < M; ++i) c += (y[i] == 0);
+        long u = 0, v = 0;
+        for (long i = 0; i < M; ++i)
+            tmp[i] = y[i] == 0 ? af[u++] : af[c + v++];
+        for (long i = 0; i < M; ++i) x[tmp[i]] = y[i];
+        memcpy(af, tmp, M * sizeof(int32_t));
+        long nb = gather_encode_fwd(arend, M, x, ones, runbuf);
+        if (nout + nb <= cap) memcpy(zz_out + nout, runbuf, nb);
+        nout += nb;
+    }
+    rc = nout;
+done:
+    free(off); free(af); free(tmp); free(ones);
+    free(y); free(x); free(runbuf);
+    return rc;
+}
 
 /* Bucket-scatter match rows (n, 4) int64 [j, jr, s, e] by target j and
    sort each target's run by start — the order referenceImpute3's
@@ -2392,7 +2446,7 @@ EXPORT long buckets_sort_start(int32_t *jr, int32_t *s, int32_t *e,
    branch-free.  Returns 0, -1 on a corrupt stream. */
 static long p3_scatter_fwd(const uint8_t *yz, long nz, long *pos_io,
                            int32_t *a, int32_t *ones, long M,
-                           uint8_t *xnat)
+                           uint8_t *xnat)   /* returns zeros count, or -1 */
 {
     if (!p3dec_ready) p3dec_init();
     long pos = *pos_io, m = 0, u = 0, v = 0;
@@ -2412,7 +2466,7 @@ static long p3_scatter_fwd(const uint8_t *yz, long nz, long *pos_io,
     }
     memcpy(a + u, ones, v * sizeof(int32_t));
     *pos_io = pos;
-    return 0;
+    return u;
 }
 
 /* fused output step: gather the merged column through a_out, run-length
@@ -2493,5 +2547,58 @@ EXPORT long merge_core(long nf,
     rc = nout;
 done:
     free(cpos); free(bpos); free(ynat); free(ones); free(runbuf);
+    return rc;
+}
+
+/* ------------------------------------------------------------------ */
+/* genotypeCompare counting core (pbwtImpute.c:1375-1488)              */
+/* ------------------------------------------------------------------ */
+
+/* One streaming pass over both packed panels: per site, decode + natural
+   scatter both columns (fused run-level cursor step), bin the site by
+   frequency (refFreq override, else allele-1 fraction), and count the
+   9-cell genotype-pair tables globally per bin (n_out) and per diploid
+   sample (ns_out).  fsum/nsum/isum/ni mirror the reference's per-bin
+   frequency / imputeInfo accumulators.  Returns 0, -1 on error. */
+EXPORT long gtcompare_core(const uint8_t *yzp, long nzp,
+                           const uint8_t *yzq, long nzq,
+                           long M, long N,
+                           const int32_t *ap0, const int32_t *aq0,
+                           const double *rf, const double *ii,
+                           const double *fbound, long nbound,
+                           int64_t *n_out, int64_t *ns_out,
+                           double *fsum, int64_t *nsum,
+                           double *isum, int64_t *ni)
+{
+    int32_t *ap = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *aq = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    uint8_t *xp = (uint8_t *)malloc(M);
+    uint8_t *xq = (uint8_t *)malloc(M);
+    long posp = 0, posq = 0, rc = -1;
+    if (!ap || !aq || !ones || !xp || !xq) goto done;
+    memcpy(ap, ap0, M * sizeof(int32_t));
+    memcpy(aq, aq0, M * sizeof(int32_t));
+    for (long k = 0; k < N; ++k) {
+        long zp = p3_scatter_fwd(yzp, nzp, &posp, ap, ones, M, xp);
+        if (zp < 0) goto done;
+        if (p3_scatter_fwd(yzq, nzq, &posq, aq, ones, M, xq) < 0)
+            goto done;
+        double f = rf[k] != 0.0 ? rf[k] : (double)(M - zp) / (double)M;
+        long ff = 0;
+        while (ff < nbound - 1 && f * 100.0 > fbound[ff]) ++ff;
+        fsum[ff] += f * 100.0;
+        nsum[ff]++;
+        if (ii[k] < 1.0) { isum[ff] += ii[k]; ni[ff]++; }
+        int64_t *nrow = n_out + ff * 9;
+        for (long j = 0; j + 1 < M; j += 2) {
+            long i9 = 3 * (xp[j] + xp[j + 1]) + xq[j] + xq[j + 1];
+            nrow[i9]++;
+            ns_out[(j >> 1) * 9 + i9]++;
+        }
+    }
+    rc = 0;
+done:
+    free(ap); free(aq); free(ones); free(xp); free(xq);
     return rc;
 }

@@ -649,34 +649,85 @@ def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
     nd = np.zeros(12, dtype=np.int64)
     nd1 = np.zeros(12, dtype=np.int64)
 
-    # vectorised accumulation (the per-site counting loops of
-    # pbwtImpute.c:1398-1438 become bincounts over (bin, genotype-pair)
-    # keys; only the dosage tallies still walk sites, to stream the RLE)
-    Xp = p.haplotypes()
-    Xq = q.haplotypes()
-    fsite = Xp.sum(axis=0, dtype=np.int64) / p.M      # allele-1 fraction
+    # vectorised accumulation streamed in site chunks (the per-site
+    # counting loops of pbwtImpute.c:1398-1438 become bincounts over
+    # (bin, genotype-pair) keys; O(M * chunk) live bytes — the dense
+    # (M, N) matrices cost more in page faults than the counting at
+    # 16k x 16k).  Only the dosage tallies still walk sites, to stream
+    # the RLE.
+    from ..core import native
+    M, N = p.M, p.N
     rf = np.array([s.refFreq for s in p.sites], dtype=np.float64)
     is_ref_freq = bool((rf != 0.0).any())
-    f_arr = np.where(rf != 0.0, rf, fsite)
-    # first ff with f*100 <= F_BOUND[ff] == the reference's while walk
-    ff_arr = np.searchsorted(np.asarray(F_BOUND), f_arr * 100.0,
-                             side="left").astype(np.int64)
-    fsum = np.bincount(ff_arr, weights=f_arr * 100.0, minlength=17)
-    nsum = np.bincount(ff_arr, minlength=17).astype(np.int64)
     ii = np.array([s.imputeInfo for s in p.sites], dtype=np.float64)
-    im = ii < 1.0
-    isum = np.bincount(ff_arr[im], weights=ii[im], minlength=17)
-    ni = np.bincount(ff_arr[im], minlength=17).astype(np.int64)
+    fbound = np.asarray(F_BOUND)
 
-    gp = Xp[0::2] + Xp[1::2]                          # (M/2, N) uint8
-    i9 = 3 * gp + (Xq[0::2] + Xq[1::2])               # 0..8, uint8
-    key = ff_arr.astype(np.uint8)[None, :] * 9 + i9   # ff*9+i9 <= 152
-    n = np.bincount(key.ravel(), minlength=17 * 9).reshape(17, 9)
+    chunk = 1024
+    stream = native.get_lib() is not None and bool(p.yz) and bool(q.yz)
+    if stream and not is_dosage:
+        # the whole counting pass in C at the reference's own loop cost
+        ap0 = (p.aFstart if p.aFstart is not None
+               else np.arange(M, dtype=np.int32))
+        aq0 = (q.aFstart if q.aFstart is not None
+               else np.arange(M, dtype=np.int32))
+        n, ns9c, fsum, nsum, isum, ni = native.gtcompare_core(
+            p.yz, q.yz, M, N, ap0, aq0, rf, ii, fbound)
+        ns = np.zeros((p.M, 9), dtype=np.int64)
+        ns[0::2] = ns9c
+        _genotype_compare_report(p, is_ref_freq, is_dosage, n, ns, fsum,
+                                 nsum, isum, ni, nd, nd1)
+        return
+    Xp_d = None if stream else p.haplotypes()
+    Xq_d = None if stream else q.haplotypes()
+    ap = (p.aFstart if p.aFstart is not None
+          else np.arange(M, dtype=np.int32))
+    aq = (q.aFstart if q.aFstart is not None
+          else np.arange(M, dtype=np.int32))
+    posp = posq = 0
+    n = np.zeros(17 * 9, dtype=np.int64)
+    ns9 = np.zeros((9, M // 2), dtype=np.int64)
+    fsum = np.zeros(17)
+    nsum = np.zeros(17, np.int64)
+    isum = np.zeros(17)
+    ni = np.zeros(17, np.int64)
+    Xp_cols = [] if is_dosage else None
+    for k0 in range(0, N, chunk):
+        nc = min(chunk, N - k0)
+        if stream:
+            Xpc, ap, onesc, posp = native.natural_cols(p.yz, nc, M, ap,
+                                                       start=posp,
+                                                       with_pos=True)
+            Xqc, aq, _, posq = native.natural_cols(q.yz, nc, M, aq,
+                                                   start=posq,
+                                                   with_pos=True)
+        else:
+            Xpc = np.ascontiguousarray(Xp_d[:, k0:k0 + nc].T)
+            Xqc = np.ascontiguousarray(Xq_d[:, k0:k0 + nc].T)
+            onesc = Xpc.sum(axis=1, dtype=np.int64)
+        f_arr = np.where(rf[k0:k0 + nc] != 0.0, rf[k0:k0 + nc],
+                         onesc / float(M))
+        # first ff with f*100 <= F_BOUND[ff] == the reference's walk
+        ff = np.searchsorted(fbound, f_arr * 100.0, side="left")
+        fsum += np.bincount(ff, weights=f_arr * 100.0, minlength=17)
+        nsum += np.bincount(ff, minlength=17)
+        im = ii[k0:k0 + nc] < 1.0
+        isum += np.bincount(ff[im], weights=ii[k0:k0 + nc][im],
+                            minlength=17)
+        ni += np.bincount(ff[im], minlength=17)
+        i9 = 3 * (Xpc[:, 0::2] + Xpc[:, 1::2]) \
+            + (Xqc[:, 0::2] + Xqc[:, 1::2])           # (nc, M/2) uint8
+        key = ff.astype(np.uint8)[:, None] * 9 + i9   # ff*9+i9 <= 152
+        n += np.bincount(key.ravel(), minlength=17 * 9)
+        for v in range(9):
+            ns9[v] += (i9 == v).sum(axis=0)
+        if is_dosage:
+            Xp_cols.append(Xpc.copy())
+    n = n.reshape(17, 9)
     ns = np.zeros((p.M, 9), dtype=np.int64)
-    for v in range(9):
-        ns[0::2, v] = (i9 == v).sum(axis=1)
+    ns[0::2] = ns9.T
 
     if is_dosage:
+        Xp_nat = np.concatenate(Xp_cols)              # (N, M) site-major
         Yp = p.decoded(True)
         a = p.aFstart.copy()
         for k in range(p.N):
@@ -687,9 +738,18 @@ def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
                            np.where(dos_nat == 1.0, 11,
                                     1 + (dos_nat * 10.0).astype(np.int64)))
             np.add.at(nd, ids, 1)
-            np.add.at(nd1, ids[Xp[:, k] == 1], 1)
+            np.add.at(nd1, ids[Xp_nat[k] == 1], 1)
             a = engine.forwards_a(a, Yp[k])
 
+    _genotype_compare_report(p, is_ref_freq, is_dosage, n, ns, fsum,
+                             nsum, isum, ni, nd, nd1)
+
+
+def _genotype_compare_report(p, is_ref_freq, is_dosage, n, ns, fsum,
+                             nsum, isum, ni, nd, nd1) -> None:
+    """The r2 tables + per-sample accuracy distribution + dosage table
+    (pbwtImpute.c:1441-1487)."""
+    out = sys.stdout
     if is_ref_freq:
         out.write("Genotype comparison results split on reference frequencies\n")
     else:

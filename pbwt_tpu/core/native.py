@@ -181,6 +181,12 @@ def get_lib():
     lib.segs_sort.argtypes = [i64p, L, L, i32p, i32p, i32p, i64p]
     lib.buckets_sort_start.restype = L
     lib.buckets_sort_start.argtypes = [i32p, i32p, i32p, i64p, L]
+    lib.build_reverse_core.restype = L
+    lib.build_reverse_core.argtypes = [u8p, L, L, L, i32p, u8p, L, i32p]
+    lib.gtcompare_core.restype = L
+    lib.gtcompare_core.argtypes = [u8p, L, u8p, L, L, L, i32p, i32p,
+                                   f64p, f64p, f64p, L, i64p, i64p,
+                                   f64p, i64p, f64p, i64p]
     _lib = lib
     return _lib
 
@@ -503,6 +509,59 @@ def segs_sort(rows: np.ndarray, T: int):
     if lib.segs_sort(rows.reshape(-1), n, T, jr, s, e, seg_off) < 0:
         raise MemoryError("segs_sort")
     return jr, s, e, seg_off
+
+
+def gtcompare_core(yzp: bytes, yzq: bytes, M: int, N: int,
+                   ap0: np.ndarray, aq0: np.ndarray, rf: np.ndarray,
+                   ii: np.ndarray, fbound: np.ndarray):
+    """genotypeCompare counting (pbwtImpute.c:1398-1438) as one streaming
+    C pass over both packed panels.  Returns (n (17, 9), ns9 (M//2, 9),
+    fsum, nsum, isum, ni) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bp = np.frombuffer(bytes(yzp), np.uint8)
+    bq = np.frombuffer(bytes(yzq), np.uint8)
+    nb = len(fbound)
+    n = np.zeros(nb * 9, np.int64)
+    ns9 = np.zeros((M // 2) * 9, np.int64)
+    fsum = np.zeros(nb)
+    nsum = np.zeros(nb, np.int64)
+    isum = np.zeros(nb)
+    ni = np.zeros(nb, np.int64)
+    rc = lib.gtcompare_core(bp, len(bp), bq, len(bq), M, N,
+                            np.ascontiguousarray(ap0, np.int32),
+                            np.ascontiguousarray(aq0, np.int32),
+                            np.ascontiguousarray(rf, np.float64),
+                            np.ascontiguousarray(ii, np.float64),
+                            np.ascontiguousarray(fbound, np.float64), nb,
+                            n, ns9, fsum, nsum, isum, ni)
+    if rc < 0:
+        raise ValueError("gtcompare_core: corrupt pack3 stream")
+    return (n.reshape(nb, 9), ns9.reshape(M // 2, 9), fsum, nsum, isum,
+            ni)
+
+
+def build_reverse_core(yz: bytes, M: int, N: int, aFend: np.ndarray):
+    """pbwtBuildReverse as one C pass (offsets skim + backward stream +
+    fused gather/encode/partition emit).  Returns (zz bytes, aRend) or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(yz), np.uint8)
+    a_end = np.ascontiguousarray(aFend, np.int32)
+    cap = len(buf) + 16 * N + 65536
+    while True:
+        zz = np.empty(cap, np.uint8)
+        arend = a_end.copy()
+        n = lib.build_reverse_core(buf, len(buf), M, N, a_end, zz, cap,
+                                   arend)
+        if n < 0:
+            raise ValueError("build_reverse_core: corrupt pack3 stream")
+        if n <= cap:
+            return zz[:n].tobytes(), arend
+        cap = int(n)
 
 
 def buckets_sort_start(sj: np.ndarray, ss: np.ndarray, se: np.ndarray,

@@ -157,6 +157,18 @@ class PBWT:
     # ---- reverse PBWT (pbwtBuildReverse, pbwtCore.c:151-191) --------------
 
     def build_reverse(self):
+        from . import native
+        if self.yz and self.aFend is not None:
+            # one C pass: offsets skim + backward prefix-array inversion +
+            # fused gather/encode/partition emit (pbwtCore.c:151-191)
+            res = native.build_reverse_core(self.yz, self.M, self.N,
+                                            self.aFend)
+            if res is not None:
+                self.aRstart = self.aFend.copy()
+                self.zz, self.aRend = res
+                self._decoded_r = None
+                log(f"built reverse PBWT - size {len(self.zz)}")
+                return
         Y = self.decoded(True)
         a0 = self.aFstart if self.aFstart is not None else np.arange(self.M, dtype=np.int32)
         if self.aFend is None:

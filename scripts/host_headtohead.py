@@ -117,7 +117,11 @@ def write_panel(path_root, M, N, seed, pos_seed=None, chrom="20"):
                                replace=False))
     als = ["A\tC", "A\tG", "C\tT", "G\tT"]
     rng = np.random.RandomState(seed)
-    X = (rng.random_sample((M, N)) < freqs[None, :]).astype(np.uint8)
+    X = np.empty((M, N), np.uint8)         # blockwise: no (M, N) float64
+    B = max(1, (1 << 24) // max(N, 1))
+    for r0 in range(0, M, B):
+        r1 = min(r0 + B, M)
+        X[r0:r1] = rng.random_sample((r1 - r0, N)) < freqs[None, :]
     p = PBWT.from_haplotypes(X)
     p.chrom = chrom
     vd = registry.variation_dict
@@ -320,9 +324,136 @@ def h2h_refimpute(reps):
               "haps")
 
 
+def h2h_merge_xl(reps):
+    print("== -merge XL (20k + 20k haplotypes, 20k sites) ==", flush=True)
+    d = os.path.join(WORKDIR, "merge_xl")
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(os.path.join(d, "in1.pbwt")):
+        write_panel(os.path.join(d, "in0"), 20000, 20000, 61, pos_seed=60)
+        write_panel(os.path.join(d, "in1"), 20000, 20000, 62, pos_seed=60)
+    rb = ref_bin()
+    run_timed("ref", [rb, "-merge", "in0.pbwt", "in1.pbwt", "-write",
+                      "ref.pbwt", "-writeSites", "ref.sites"], reps, d)
+    run_timed("ours", ours_cmd("-merge", "in0.pbwt", "in1.pbwt", "-write",
+                               "our.pbwt", "-writeSites", "our.sites"),
+              reps, d)
+    cmp_files(os.path.join(d, "ref.pbwt"), os.path.join(d, "our.pbwt"),
+              "pbwt")
+
+
+def h2h_gtcompare_xl(reps):
+    print("== -genotypeCompare XL (16k x 16k) ==", flush=True)
+    d = os.path.join(WORKDIR, "gtc_xl")
+    os.makedirs(d, exist_ok=True)
+    rb = ref_bin()
+    if not os.path.exists(os.path.join(d, "cor.pbwt")):
+        write_panel(os.path.join(d, "pan"), 16000, 16000, 71)
+        subprocess.run([rb, "-readAll", "pan", "-corruptSites", "0.99",
+                        "0.95", "-writeAll", "cor"], cwd=d, check=True,
+                       capture_output=True)
+    run_timed("ref", [rb, "-readAll", "cor", "-genotypeCompare", "pan",
+                      "-log", "ref.log"], reps, d)
+    run_timed("ours", ours_cmd("-readAll", "cor", "-genotypeCompare",
+                               "pan", "-log", "our.log"), reps, d)
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env.update(PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    r = subprocess.run([rb, "-readAll", "cor", "-genotypeCompare", "pan"],
+                       cwd=d, capture_output=True)
+    o = subprocess.run(ours_cmd("-readAll", "cor", "-genotypeCompare",
+                                "pan"), cwd=d, capture_output=True, env=env)
+    same = r.stdout == o.stdout
+    print(f"  parity[stdout]: {'OK' if same else 'MISMATCH'}", flush=True)
+    if not same:
+        sys.exit(1)
+
+
+def h2h_imputemissing_xl(reps):
+    print("== -imputeMissing XL (12k x 8k, 10% missing sites) ==",
+          flush=True)
+    d = os.path.join(WORKDIR, "imm_xl")
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(os.path.join(d, "pan.pbwt")):
+        # synthesise the root directly (a 12k-sample VCF text would be
+        # ~1 GB): panel + pack3 missing sidecar via our own writer
+        from pbwt_tpu.core import registry
+        from pbwt_tpu.core.pbwt import PBWT, Site
+        from pbwt_tpu.core import pack3 as p3
+        from pbwt_tpu.io import pbwtfile
+        rng = np.random.RandomState(81)
+        M, N = 12000, 8000
+        freqs = rng.beta(0.2, 0.8, size=N)
+        X = np.empty((M, N), np.uint8)
+        B = max(1, (1 << 24) // N)
+        for r0 in range(0, M, B):
+            r1 = min(r0 + B, M)
+            X[r0:r1] = rng.random_sample((r1 - r0, N)) < freqs[None, :]
+        missing_sites = np.nonzero(rng.random_sample(N) < 0.1)[0]
+        zmiss = bytearray(b"\x00")           # offset-0 marker byte
+        moff = np.zeros(N, np.int64)
+        for k in missing_sites:
+            mrow = (rng.random_sample(M) < 0.3).astype(np.uint8)
+            X[:, k] *= 1 - mrow              # missing -> 0, like the ref
+            moff[k] = len(zmiss)             # byte offset (0 = none)
+            zmiss.extend(p3.pack3(mrow))
+        p = PBWT.from_haplotypes(X)
+        p.chrom = "20"
+        vd = registry.variation_dict
+        pos = np.sort(rng.choice(np.arange(1, 90_000_000), N,
+                                 replace=False))
+        p.sites = [Site(x=int(pos[k]), varD=vd.add("A\tC"))
+                   for k in range(N)]
+        p.zMissing = bytes(zmiss)
+        p.missingOffset = moff
+        pbwtfile.write_all(p, os.path.join(d, "pan"))
+    rb = ref_bin()
+    run_timed("ref", [rb, "-readAll", "pan", "-imputeMissing", "-haps",
+                      "ref.haps"], reps, d)
+    run_timed("ours", ours_cmd("-readAll", "pan", "-imputeMissing",
+                               "-haps", "our.haps"), reps, d)
+    cmp_files(os.path.join(d, "ref.haps"), os.path.join(d, "our.haps"),
+              "haps")
+
+
+def h2h_paint_xl(reps):
+    print("== -paint XL (6k x 6k) ==", flush=True)
+    d = os.path.join(WORKDIR, "paint_xl")
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(os.path.join(d, "pan.pbwt")):
+        rng = np.random.RandomState(91)
+        M, N = 6000, 6000
+        F = (rng.random_sample((40, N)) < 0.35).astype(np.uint8)
+        X = F[rng.randint(40, size=M)] ^ (
+            rng.random_sample((M, N)) < 0.005).astype(np.uint8)
+        from pbwt_tpu.core import registry
+        from pbwt_tpu.core.pbwt import PBWT, Site
+        from pbwt_tpu.io import pbwtfile
+        p = PBWT.from_haplotypes(X)
+        p.chrom = "20"
+        vd = registry.variation_dict
+        pos = np.sort(rng.choice(np.arange(1, 60_000_000), N,
+                                 replace=False))
+        p.sites = [Site(x=int(pos[k]), varD=vd.add("A\tC"))
+                   for k in range(N)]
+        with open(os.path.join(d, "pan.pbwt"), "wb") as f:
+            pbwtfile.write_pbwt(p, f)
+        with open(os.path.join(d, "pan.sites"), "w") as f:
+            pbwtfile.write_sites(p, f)
+    rb = ref_bin()
+    run_timed("ref", [rb, "-readAll", "pan", "-paint", "ref"], reps, d)
+    run_timed("ours", ours_cmd("-readAll", "pan", "-paint", "our"),
+              reps, d)
+    for sfx in ("chunkcounts", "chunklengths"):
+        cmp_files(os.path.join(d, f"ref.{sfx}.out"),
+                  os.path.join(d, f"our.{sfx}.out"), sfx)
+
+
 ALL = {"merge": h2h_merge, "gtcompare": h2h_gtcompare,
        "imputemissing": h2h_imputemissing, "phase": h2h_phase,
-       "paint": h2h_paint, "refimpute": h2h_refimpute}
+       "paint": h2h_paint, "refimpute": h2h_refimpute,
+       "merge-xl": h2h_merge_xl, "gtcompare-xl": h2h_gtcompare_xl,
+       "imputemissing-xl": h2h_imputemissing_xl,
+       "paint-xl": h2h_paint_xl}
 
 
 def main():
