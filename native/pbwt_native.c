@@ -2602,3 +2602,64 @@ done:
     free(ap); free(aq); free(ones); free(xp); free(xq);
     return rc;
 }
+
+/* phaseCompare (pbwtImpute.c:165-243) as one streaming pass over both
+   packed panels: per-pair flip-state machine over het sites.
+   out4 = {nSwitch, nHet, nSwitch1, nSwitch5}.  Returns 0 / -1. */
+EXPORT long phase_compare_core(const uint8_t *yzp, long nzp,
+                               const uint8_t *yzq, long nzq,
+                               long M, long N,
+                               const int32_t *ap0, const int32_t *aq0,
+                               int64_t *out4, int64_t *n_switch_sample,
+                               int64_t *n_switch_site)
+{
+    long P = M / 2, rc = -1, posp = 0, posq = 0;
+    int32_t *ap = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *aq = (int32_t *)malloc(M * sizeof(int32_t));
+    int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
+    uint8_t *xp = (uint8_t *)malloc(M);
+    uint8_t *xq = (uint8_t *)malloc(M);
+    uint8_t *isfirst = (uint8_t *)malloc(P);
+    uint8_t *flip = (uint8_t *)calloc(P, 1);
+    int64_t *lastflip = (int64_t *)calloc(P, sizeof(int64_t));
+    int64_t *khet = (int64_t *)calloc(P, sizeof(int64_t));
+    if (!ap || !aq || !ones || !xp || !xq || !isfirst || !flip
+        || !lastflip || !khet) goto done;
+    memcpy(ap, ap0, M * sizeof(int32_t));
+    memcpy(aq, aq0, M * sizeof(int32_t));
+    memset(isfirst, 1, P);
+    long nswitch = 0, nhet = 0, nsw1 = 0, nsw5 = 0;
+    for (long k = 0; k < N; ++k) {
+        if (p3_scatter_fwd(yzp, nzp, &posp, ap, ones, M, xp) < 0)
+            goto done;
+        if (p3_scatter_fwd(yzq, nzq, &posq, aq, ones, M, xq) < 0)
+            goto done;
+        long nsw_k = 0;
+        for (long j = 0; j < P; ++j) {
+            int a0 = xp[2 * j], a1 = xp[2 * j + 1];
+            if (a0 + a1 != 1) continue;
+            ++nhet; ++khet[j];
+            if (isfirst[j]) {
+                isfirst[j] = 0;
+                flip[j] = (uint8_t)(a0 == xq[2 * j + 1]);
+                continue;
+            }
+            int sel = flip[j] ? xq[2 * j + 1] : xq[2 * j];
+            if (a0 != sel) {
+                ++nswitch; ++n_switch_sample[j]; ++nsw_k;
+                long gap = khet[j] - lastflip[j];
+                if (gap > 1) ++nsw1;
+                if (gap > 5) ++nsw5;
+                flip[j] ^= 1;
+                lastflip[j] = khet[j];
+            }
+        }
+        n_switch_site[k] = nsw_k;
+    }
+    out4[0] = nswitch; out4[1] = nhet; out4[2] = nsw1; out4[3] = nsw5;
+    rc = 0;
+done:
+    free(ap); free(aq); free(ones); free(xp); free(xq);
+    free(isfirst); free(flip); free(lastflip); free(khet);
+    return rc;
+}

@@ -23,6 +23,28 @@ def phase_compare(p: PBWT, q: PBWT) -> None:
         raise ValueError("size incompatibility in phaseCompare")
     if M % 2:
         raise ValueError(f"phaseCompare requires that M {M} is even")
+    from ..core import native
+    if p.yz and q.yz and native.get_lib() is not None:
+        # the whole per-pair switch scan as one streaming C pass
+        ap0 = (p.aFstart if p.aFstart is not None
+               else np.arange(M, dtype=np.int32))
+        aq0 = (q.aFstart if q.aFstart is not None
+               else np.arange(M, dtype=np.int32))
+        (n_switch, n_het, n_switch1, n_switch5, n_switch_sample,
+         n_switch_site) = native.phase_compare_core(p.yz, q.yz, M, N,
+                                                    ap0, aq0)
+        m_fac = 2.0 / M
+        log(f"{m_fac * n_switch:.1f} switches per sample, "
+            f"{n_switch / n_het if n_het else 0.0:.3f} per het, "
+            f"{m_fac * n_switch1:.1f} nSwitch1, "
+            f"{m_fac * n_switch5:.1f} nSwitch5")
+        if registry.is_stats:
+            import sys
+            for i in range(M // 2):
+                sys.stdout.write(f"SAMPLE-SWITCH\t{i}\t{n_switch_sample[i]}\n")
+            for k in range(N):
+                sys.stdout.write(f"SITE-SWITCH\t{k}\t{n_switch_site[k]}\n")
+        return
     Xp = p.haplotypes()
     Xq = q.haplotypes()
     n_switch = n_het = n_switch1 = n_switch5 = 0

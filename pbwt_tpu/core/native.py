@@ -187,6 +187,9 @@ def get_lib():
     lib.gtcompare_core.argtypes = [u8p, L, u8p, L, L, L, i32p, i32p,
                                    f64p, f64p, f64p, L, i64p, i64p,
                                    f64p, i64p, f64p, i64p]
+    lib.phase_compare_core.restype = L
+    lib.phase_compare_core.argtypes = [u8p, L, u8p, L, L, L, i32p, i32p,
+                                       i64p, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -509,6 +512,28 @@ def segs_sort(rows: np.ndarray, T: int):
     if lib.segs_sort(rows.reshape(-1), n, T, jr, s, e, seg_off) < 0:
         raise MemoryError("segs_sort")
     return jr, s, e, seg_off
+
+
+def phase_compare_core(yzp: bytes, yzq: bytes, M: int, N: int,
+                       ap0: np.ndarray, aq0: np.ndarray):
+    """phaseCompare's per-pair switch scan as one streaming C pass.
+    Returns (n_switch, n_het, n_switch1, n_switch5, n_switch_sample,
+    n_switch_site) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bp = np.frombuffer(bytes(yzp), np.uint8)
+    bq = np.frombuffer(bytes(yzq), np.uint8)
+    out4 = np.zeros(4, np.int64)
+    nss = np.zeros(M // 2, np.int64)
+    nsk = np.zeros(N, np.int64)
+    if lib.phase_compare_core(bp, len(bp), bq, len(bq), M, N,
+                              np.ascontiguousarray(ap0, np.int32),
+                              np.ascontiguousarray(aq0, np.int32),
+                              out4, nss, nsk) < 0:
+        raise ValueError("phase_compare_core: corrupt pack3 stream")
+    return (int(out4[0]), int(out4[1]), int(out4[2]), int(out4[3]),
+            nss, nsk)
 
 
 def gtcompare_core(yzp: bytes, yzq: bytes, M: int, N: int,

@@ -448,12 +448,64 @@ def h2h_paint_xl(reps):
                   os.path.join(d, f"our.{sfx}.out"), sfx)
 
 
+def h2h_phase_xl(reps):
+    print("== -phase XL (8k x 6k vcfq) ==", flush=True)
+    d = os.path.join(WORKDIR, "phase_xl")
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(os.path.join(d, "in.tab")):
+        rng = np.random.RandomState(101)
+        M, N = 8000, 6000
+        F = (rng.random_sample((60, N)) < 0.35).astype(np.uint8)
+        X = F[rng.randint(60, size=M)] ^ (
+            rng.random_sample((M, N)) < 0.01).astype(np.uint8)
+        write_vcfq(os.path.join(d, "in.tab"), X, 102)
+    rb = ref_bin()
+    run_timed("ref", [rb, "-readVcfq", "in.tab", "-phase", "4", "-haps",
+                      "ref.haps"], reps, d)
+    run_timed("ours", ours_cmd("-readVcfq", "in.tab", "-phase", "4",
+                               "-haps", "our.haps"), reps, d)
+    cmp_files(os.path.join(d, "ref.haps"), os.path.join(d, "our.haps"),
+              "haps")
+
+
+def h2h_refimpute_xl(reps):
+    print("== -referenceImpute XL (panel 20k x 16k -> 2k targets, "
+          "4k-site frame) ==", flush=True)
+    d = os.path.join(WORKDIR, "rimp_xl")
+    os.makedirs(d, exist_ok=True)
+    rb = ref_bin()
+    if not os.path.exists(os.path.join(d, "tgt.pbwt")):
+        write_panel(os.path.join(d, "all"), 22000, 16000, 111)
+        subprocess.run([rb, "-readAll", "all", "-subsample", "0", "20000",
+                        "-writeAll", "refpan"], cwd=d, check=True,
+                       capture_output=True)
+        subprocess.run([rb, "-readAll", "all", "-subsample", "20000",
+                        "2000", "-writeAll", "tgt_full"], cwd=d,
+                       check=True, capture_output=True)
+        rng = np.random.RandomState(112)
+        keep = np.sort(rng.choice(16000, 4000, replace=False))
+        with open(os.path.join(d, "tgt_full.sites")) as f:
+            lines = f.readlines()
+        with open(os.path.join(d, "frame.sites"), "w") as f:
+            f.writelines([lines[i] for i in keep])
+        subprocess.run([rb, "-readAll", "tgt_full", "-selectSites",
+                        "frame.sites", "-writeAll", "tgt"], cwd=d,
+                       check=True, capture_output=True)
+    run_timed("ref", [rb, "-readAll", "tgt", "-referenceImpute", "refpan",
+                      "-haps", "ref.haps"], reps, d)
+    run_timed("ours", ours_cmd("-readAll", "tgt", "-referenceImpute",
+                               "refpan", "-haps", "our.haps"), reps, d)
+    cmp_files(os.path.join(d, "ref.haps"), os.path.join(d, "our.haps"),
+              "haps")
+
+
 ALL = {"merge": h2h_merge, "gtcompare": h2h_gtcompare,
        "imputemissing": h2h_imputemissing, "phase": h2h_phase,
        "paint": h2h_paint, "refimpute": h2h_refimpute,
        "merge-xl": h2h_merge_xl, "gtcompare-xl": h2h_gtcompare_xl,
        "imputemissing-xl": h2h_imputemissing_xl,
-       "paint-xl": h2h_paint_xl}
+       "paint-xl": h2h_paint_xl, "phase-xl": h2h_phase_xl,
+       "refimpute-xl": h2h_refimpute_xl}
 
 
 def main():
