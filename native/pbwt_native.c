@@ -143,6 +143,8 @@ static inline uint8_t *put_dec(uint8_t *p, long v)
     return p;
 }
 
+static long fmt_f4_one(double v, char *out);   /* ' %.4f', defined below */
+
 /* match-row sink: either collect (ai, bi, s, e) int64 rows (cap-bounded,
    zero-length rows kept for collector semantics) or stream formatted
    MATCH lines straight to a file descriptor (zero-length rows skipped,
@@ -615,6 +617,26 @@ EXPORT long paint_sparse_all(const int32_t *seg_j, const int32_t *seg_s,
     gzbuffer(fz[1], 1 << 20); gzbuffer(fz[2], 1 << 20);
     gzbuffer(fz[3], 1 << 20); gzbuffer(fz[4], 1 << 20);
 
+    /* batch the data rows through text buffers: gzprintf pays a
+       vsnprintf + zlib call per LINE, which dominates at hundreds of
+       millions of sparse entries; identical bytes (put_dec + the exact
+       fixed-point ' %.4f' path), identical deflate framing (one gzwrite
+       stream per file, no extra flushes) */
+    enum { OCAP = 1 << 20 };
+    char *obuf[5] = {0};
+    long olen[5] = {0};
+    for (int f = 1; f < 5; ++f) obuf[f] = (char *)malloc(OCAP);
+#define SPARSE_ROW(f, ival, jval, v) do { \
+        if (olen[f] + 64 > OCAP) { \
+            gzwrite(fz[f], obuf[f], (unsigned)olen[f]); olen[f] = 0; } \
+        char *p_ = obuf[f] + olen[f]; \
+        p_ = (char *)put_dec((uint8_t *)p_, (ival)); *p_++ = ' '; \
+        p_ = (char *)put_dec((uint8_t *)p_, (jval)); \
+        p_ += fmt_f4_one((v), p_); \
+        *p_++ = '\n'; \
+        olen[f] = p_ - obuf[f]; \
+    } while (0)
+
     double *t_counts = (double *)calloc(n_inds, sizeof(double));
     double *t_counts2 = (double *)calloc(n_inds, sizeof(double));
     double *t_counts3 = (double *)calloc(n_inds, sizeof(double));
@@ -729,13 +751,10 @@ EXPORT long paint_sparse_all(const int32_t *seg_j, const int32_t *seg_s,
             for (long t = 0; t < ntouch; ++t) {
                 long j = touch[t];
                 if (t_counts[j] != 0.0) {
-                    gzprintf(fz[1], "%ld %ld %.4f\n", ii + 1, j + 1,
-                             t_counts[j]);
-                    gzprintf(fz[2], "%ld %ld %.4f\n", ii + 1, j + 1, tl[j]);
-                    gzprintf(fz[3], "%ld %ld %.4f\n", ii + 1, j + 1,
-                             t_counts2[j]);
-                    gzprintf(fz[4], "%ld %ld %.4f\n", ii + 1, j + 1,
-                             t_counts3[j]);
+                    SPARSE_ROW(1, ii + 1, j + 1, t_counts[j]);
+                    SPARSE_ROW(2, ii + 1, j + 1, tl[j]);
+                    SPARSE_ROW(3, ii + 1, j + 1, t_counts2[j]);
+                    SPARSE_ROW(4, ii + 1, j + 1, t_counts3[j]);
                 }
                 t_counts[j] = 0.0; t_counts2[j] = 0.0; t_counts3[j] = 0.0;
                 tl[j] = 0.0; seen[j] = 0;
@@ -743,6 +762,10 @@ EXPORT long paint_sparse_all(const int32_t *seg_j, const int32_t *seg_s,
         }
         gzprintf(fz[0], "%ld %.2f\n", ii + 1, nreg);
     }
+    for (int f = 1; f < 5; ++f)
+        if (olen[f]) gzwrite(fz[f], obuf[f], (unsigned)olen[f]);
+    for (int f = 1; f < 5; ++f) free(obuf[f]);
+#undef SPARSE_ROW
     for (int f = 0; f < 5; ++f) gzclose(fz[f]);
     free(t_counts); free(t_counts2); free(t_counts3); free(tl); free(part);
     free(seen); free(seenp); free(touch); free(touchp);
@@ -2258,7 +2281,7 @@ done:
    fallback for negatives, huge values and near-tie fractions — within
    the fast range, |v*1e4 - nearest| < 0.4999 pins the correctly-rounded
    decimal to the same side sprintf's exact conversion lands on. */
-static inline long fmt_f4_one(double v, char *out)
+static long fmt_f4_one(double v, char *out)
 {
     if (!(v >= 0.0) || v >= 4.5e14) return sprintf(out, " %.4f", v);
     double x = v * 10000.0;

@@ -670,13 +670,15 @@ def _genotype_compare_pbwt(p: PBWT, q: PBWT) -> None:
                else np.arange(M, dtype=np.int32))
         aq0 = (q.aFstart if q.aFstart is not None
                else np.arange(M, dtype=np.int32))
-        n, ns9c, fsum, nsum, isum, ni = native.gtcompare_core(
-            p.yz, q.yz, M, N, ap0, aq0, rf, ii, fbound)
-        ns = np.zeros((p.M, 9), dtype=np.int64)
-        ns[0::2] = ns9c
-        _genotype_compare_report(p, is_ref_freq, is_dosage, n, ns, fsum,
-                                 nsum, isum, ni, nd, nd1)
-        return
+        res = native.gtcompare_core(p.yz, q.yz, M, N, ap0, aq0, rf, ii,
+                                    fbound)
+        if res is not None:
+            n, ns9c, fsum, nsum, isum, ni = res
+            ns = np.zeros((p.M, 9), dtype=np.int64)
+            ns[0::2] = ns9c
+            _genotype_compare_report(p, is_ref_freq, is_dosage, n, ns,
+                                     fsum, nsum, isum, ni, nd, nd1)
+            return
     Xp_d = None if stream else p.haplotypes()
     Xq_d = None if stream else q.haplotypes()
     ap = (p.aFstart if p.aFstart is not None

@@ -24,15 +24,17 @@ def phase_compare(p: PBWT, q: PBWT) -> None:
     if M % 2:
         raise ValueError(f"phaseCompare requires that M {M} is even")
     from ..core import native
-    if p.yz and q.yz and native.get_lib() is not None:
+    res = None
+    if p.yz and q.yz:
         # the whole per-pair switch scan as one streaming C pass
         ap0 = (p.aFstart if p.aFstart is not None
                else np.arange(M, dtype=np.int32))
         aq0 = (q.aFstart if q.aFstart is not None
                else np.arange(M, dtype=np.int32))
+        res = native.phase_compare_core(p.yz, q.yz, M, N, ap0, aq0)
+    if res is not None:
         (n_switch, n_het, n_switch1, n_switch5, n_switch_sample,
-         n_switch_site) = native.phase_compare_core(p.yz, q.yz, M, N,
-                                                    ap0, aq0)
+         n_switch_site) = res
         m_fac = 2.0 / M
         log(f"{m_fac * n_switch:.1f} switches per sample, "
             f"{n_switch / n_het if n_het else 0.0:.3f} per het, "

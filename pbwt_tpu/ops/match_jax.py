@@ -826,17 +826,6 @@ def _pack_flush(e, f, g, nrec):
     return jnp.concatenate([jnp.atleast_1d(nrec), e, f, g])
 
 
-@functools.partial(jax.jit, static_argnames=("head",))
-def _pack_flush_rec(e, f, g, nrec, recbuf, head):
-    """One-transfer scan tail + speculative record head: [nrec, e|f|g,
-    first `head` record rows].  When the caller's head guess (previous
-    call's record count) holds, the whole result needs ONE tunnel
-    round-trip — the separate flush + record fetches cost ~40 ms of
-    latency each on the tunneled backend."""
-    return jnp.concatenate([jnp.atleast_1d(nrec), e, f, g,
-                            recbuf[:head].reshape(-1)])
-
-
 @functools.partial(jax.jit, static_argnames=("ns",))
 def _qcols_from_words(xq_words, ns):
     """Derive the (Ns, Q) per-site query allele columns ON DEVICE from the
