@@ -373,10 +373,12 @@ def bench_match_dynamic(M=100_000, N=2048, Qs=(256, 1024, 4096)):
             continue
         matcher.match(Xq[:Q])             # warm-up / compile
         trace(f"match Q={Q} compiled + warm")
-        t0 = time.perf_counter()
-        rows = matcher.match(Xq[:Q])
-        dt = time.perf_counter() - t0
-        trace(f"match Q={Q} measured ({dt:.3f} s)")
+        dt = float("inf")                 # best of 2 steady calls: the
+        for _ in range(2):                # tunnel adds 50-300 ms jitter
+            t0 = time.perf_counter()
+            rows = matcher.match(Xq[:Q])
+            dt = min(dt, time.perf_counter() - t0)
+        trace(f"match Q={Q} measured ({dt:.3f} s best-of-2)")
         qps = round(Q / dt, 2)
         if i == 0:                        # primary BASELINE metric keys
             out["match_queries_per_s"] = qps
