@@ -1266,8 +1266,18 @@ class DeviceMatcher:
             if ncum > cap - _RC:
                 return None                   # overflowed mid-scan
             e_h, f_h, g_h = packed[1:].reshape(3, Q)
-            npad = min(_pow2_pad(max(ncum, 1)), cap)
-            rec = np.asarray(carry[6][:npad])[prev:ncum]
+            # fetch only THIS segment's records (a pow2-bucketed dynamic
+            # slice, clamp-adjusted): refetching the cumulative prefix
+            # per segment cost ~3x the record bytes at M=1M
+            delta = ncum - prev
+            if delta > 0:
+                dpad = min(_pow2_pad(delta), cap)
+                start = min(prev, cap - dpad)
+                rec_d = jax.lax.dynamic_slice_in_dim(carry[6], start, dpad)
+                off = prev - start
+                rec = np.asarray(rec_d)[off:off + delta]
+            else:
+                rec = np.zeros((0, 4), np.int32)
             # records store si = k_global*Q + q; _record_indices wants
             # the segment-relative flat index
             si_h = rec[:, 0] - base * Q
