@@ -184,12 +184,14 @@ def tpu_main():
         return
 
     skipped = []
+    # match first: it is the round's headline head-to-head, and a tunnel
+    # flake in a later stage must not take it down with the deadline
     stages = [
-        ("build_ad", 90, lambda: bench_build_ad(w_dev, a0, Mp, M)),
         ("match", 200, lambda: bench_match_dynamic(
             M=int(sys.argv[3]) if len(sys.argv) > 3 else 100_000,
             Qs=((int(sys.argv[4]),) if len(sys.argv) > 4
                 else (256, 1024, 4096)))),
+        ("build_ad", 60, lambda: bench_build_ad(w_dev, a0, Mp, M)),
     ]
     for name, budget, fn in stages:
         if remaining() < budget:
@@ -201,10 +203,13 @@ def tpu_main():
         except Exception as e:          # an extra must never kill the record
             result[name + "_error"] = repr(e)[:200]
         trace(f"stage {name} done")
+        result["elapsed_s"] = round(time.perf_counter() - T_START, 1)
+        emit(result)                # re-emit after every stage: a tunnel
+        # hang later must not take completed extras down with the child
     if skipped:
         result["skipped"] = skipped
-    result["elapsed_s"] = round(time.perf_counter() - T_START, 1)
-    emit(result)                    # extended line: primary fields + extras
+        result["elapsed_s"] = round(time.perf_counter() - T_START, 1)
+        emit(result)                # final line records the skips
 
 
 def cpu_fallback():
