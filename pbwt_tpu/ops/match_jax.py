@@ -774,9 +774,8 @@ def match_scan_indexed(U8, D8, DR, A_all, C, qcols, xq_words, xp_words,
     kks = jnp.arange(Ns, dtype=jnp.int32)
     recbuf0 = jnp.full((cap, 4), -1, jnp.int32)
 
-    def site_step(carry, xs):
+    def site_step(carry, u8, c, xk, kk):
         e, f, g, recbuf, rcount = carry
-        u8, c, xk, kk = xs
         fg = jnp.concatenate([f, g])
         ufg = jnp.where(fg == Mp, c,
                         _mxu_gather_u8planes(u8, jnp.minimum(fg, Mp - 1)))
@@ -798,10 +797,27 @@ def match_scan_indexed(U8, D8, DR, A_all, C, qcols, xq_words, xp_words,
             jnp.any(collapsed), do_reset,
             lambda op: (op[1], op[2], op[3], op[6], op[7]),
             (collapsed, e, f1, g1, f, g, recbuf, rcount, kk))
-        return (e, f, g, recbuf, rcount), None
+        return (e, f, g, recbuf, rcount)
+
+    # UNROLL sites per scan step: the per-iteration overhead of a TPU
+    # while loop whose body holds dynamic slices + a cond is tens of us —
+    # at small Q it dominated the whole scan (~78 us/site floor at Q=256
+    # against ~1 us of actual per-site work)
+    UNROLL = 8      # divides GROUP=32, and Ns is always Ng*GROUP
+    assert Ns % UNROLL == 0, Ns
+    Ng2 = Ns // UNROLL
+
+    def group_step(carry, xs):
+        u8g, cg, xkg, kkg = xs
+        for s in range(UNROLL):
+            carry = site_step(carry, u8g[s], cg[s], xkg[s], kkg[s])
+        return carry, None
 
     (e, f, g, recbuf, nrec), _ = jax.lax.scan(
-        site_step, (e, f, g, recbuf0, jnp.int32(0)), (U8, C, qcols, kks))
+        group_step, (e, f, g, recbuf0, jnp.int32(0)),
+        (U8.reshape((Ng2, UNROLL) + U8.shape[1:]),
+         C.reshape(Ng2, UNROLL), qcols.reshape(Ng2, UNROLL, Q),
+         kks.reshape(Ng2, UNROLL)))
     return (e, f, g), recbuf, nrec
 
 
