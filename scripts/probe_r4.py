@@ -180,7 +180,7 @@ def main():
             fs = jnp.asarray(rng.randint(0, Mp, (Ns, Q)).astype(np.int32))
             gs = fs + 1
             e, f, g = e0, f0, g0
-            khead = min(match_jax._REC_HEAD, Ns * Q)
+            khead = min(4096, Ns * Q)  # the old _REC_HEAD default
             t0 = time.perf_counter()
             p = match_jax._pack_segment_results(mask, es, fs, gs, e, f, g,
                                                 k=khead)
