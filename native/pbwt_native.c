@@ -144,6 +144,12 @@ static inline uint8_t *put_dec(uint8_t *p, long v)
 }
 
 static long fmt_f4_one(double v, char *out);   /* ' %.4f', defined below */
+/* fused run-level cursor steps, defined with the merge core below */
+static long p3_scatter_fwd(const uint8_t *yz, long nz, long *pos_io,
+                           int32_t *a, int32_t *ones, long M,
+                           uint8_t *xnat);
+static long gather_encode_fwd(int32_t *a, long M, const uint8_t *xnat,
+                              int32_t *ones, uint8_t *runbuf);
 
 /* match-row sink: either collect (ai, bi, s, e) int64 rows (cap-bounded,
    zero-length rows kept for collector semantics) or stream formatted
@@ -1377,33 +1383,34 @@ EXPORT long select_repack(const uint8_t *yz, long nz, long M, long N,
                           const uint8_t *keep, const int32_t *a0,
                           uint8_t *out, long cap, int32_t *a_end)
 {
-    colsrc cs;
-    if (!cs_packed(&cs, yz, nz, M)) return -1;
     int32_t *a_src = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *a_dst = (int32_t *)malloc(M * sizeof(int32_t));
     int32_t *ones = (int32_t *)malloc(M * sizeof(int32_t));
     uint8_t *x = (uint8_t *)malloc(M);
-    uint8_t *y2 = (uint8_t *)malloc(M);
     uint8_t *enc = (uint8_t *)malloc(M + 8);
     memcpy(a_src, a0, M * sizeof(int32_t));
     for (long i = 0; i < M; ++i) a_dst[i] = (int32_t)i;
-    long total = 0;
+    long pos = 0, total = 0;
     for (long k = 0; k < N; ++k) {
-        const uint8_t *y = cs_next(&cs, k);
-        if (!y) { total = -1; break; }
+        /* fused run-level cursor steps (decode/scatter/partition, then
+           gather/encode/partition) — two passes per kept site instead of
+           the old decode + scatter + gather + encode + 2x fwd_a */
         if (keep[k]) {
-            for (long i = 0; i < M; ++i) x[a_src[i]] = y[i];
-            for (long i = 0; i < M; ++i) y2[i] = x[a_dst[i]];
-            long nb = p3_encode(y2, M, enc);
+            if (p3_scatter_fwd(yz, nz, &pos, a_src, ones, M, x) < 0) {
+                total = -1;
+                break;
+            }
+            long nb = gather_encode_fwd(a_dst, M, x, ones, enc);
             if (total + nb <= cap) memcpy(out + total, enc, nb);
             total += nb;
-            fwd_a(a_dst, y2, ones, M);
+        } else if (p3_scatter_fwd(yz, nz, &pos, a_src, ones, M,
+                                  NULL) < 0) {
+            total = -1;
+            break;
         }
-        fwd_a(a_src, y, ones, M);
     }
     if (total >= 0 && a_end) memcpy(a_end, a_dst, M * sizeof(int32_t));
-    cs_free(&cs);
-    free(a_src); free(a_dst); free(ones); free(x); free(y2); free(enc);
+    free(a_src); free(a_dst); free(ones); free(x); free(enc);
     return total;
 }
 
