@@ -19,18 +19,9 @@ def main():
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     Q = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
-    rng = np.random.RandomState(0)
-    freqs = rng.beta(0.2, 0.8, size=N)
-    Xp = (rng.random_sample((M, N)) < freqs[None, :]).astype(np.uint8)
-    # queries are panel-row mosaics so realistic maximal matches exist
-    Xq = np.empty((Q, N), np.uint8)
-    for q in range(Q):
-        pos = 0
-        while pos < N:
-            seg = rng.randint(50, 400)
-            src = rng.randint(0, M)
-            Xq[q, pos:pos + seg] = Xp[src, pos:pos + seg]
-            pos += seg
+    from bench import bench_match_data   # row-blocked gen, same workload
+
+    Xp, Xq = bench_match_data(M, N, Q)
 
     from pbwt_tpu.ops import match_jax
 
