@@ -219,10 +219,16 @@ _RC = 128  # reset chunk width (see _site_reset)
 def _kernel_rmax() -> int:
     """Largest (R, 128) plane row count routed through the per-site Mosaic
     divergence kernel (VMEM-bound). Read at trace time; override with
-    PBWT_TPU_KERNEL_RMAX to probe larger panels on a real chip."""
+    PBWT_TPU_KERNEL_RMAX to probe larger panels on a real chip.
+
+    Default 2048: at R=4096 the monolithic kernel's scoped-vmem stack
+    measures 102.8 MB against the v5e 100 MB limit (AOT compile OOM,
+    probe_traj at M=524288, round 5), so panels beyond 2048 rows route
+    to the block-processed variant, which is exact-parity-pinned and
+    recorded green on-chip at R=8192 (M=1M)."""
     import os
 
-    return int(os.environ.get("PBWT_TPU_KERNEL_RMAX", "4096"))
+    return int(os.environ.get("PBWT_TPU_KERNEL_RMAX", "2048"))
 
 
 def _mxu_gather_plane(plane, idx):
