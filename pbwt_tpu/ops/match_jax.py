@@ -809,7 +809,7 @@ def match_scan_indexed(U8, D8, DR, A_all, C, qcols, xq_words, xp_words,
     # while loop whose body holds dynamic slices + a cond is tens of us —
     # at small Q it dominated the whole scan (~78 us/site floor at Q=256
     # against ~1 us of actual per-site work)
-    UNROLL = 8      # divides GROUP=32, and Ns is always Ng*GROUP
+    UNROLL = 8      # divides GROUP=32, and Ns is always Ng*GROUP (16 gains ~5% at Q=1024 but doubles the compile)
     assert Ns % UNROLL == 0, Ns
     Ng2 = Ns // UNROLL
 
