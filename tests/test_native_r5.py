@@ -19,6 +19,20 @@ def panel(seed, M, N, founders=12):
             ^ (rng.random_sample((M, N)) < 0.02).astype(np.uint8))
 
 
+def test_device_matcher_no_match_rows():
+    """Queries with zero shared alleles still produce only the k=N flush
+    rows (wide-interval semantics), and an empty record buffer round-trips
+    the device expansion path."""
+    from pbwt_tpu.ops import match_jax
+    M, N = 600, 64
+    Xp = np.zeros((M, N), np.uint8)     # all-zero panel: never collapses
+    Xq = np.zeros((3, N), np.uint8)
+    rows = np.asarray(match_jax.DeviceMatcher(Xp).match(Xq))
+    # every query matches every panel row end-to-end: flush rows only
+    assert len(rows) == 3 * M
+    assert (rows[:, 2] == 0).all() and (rows[:, 3] == N).all()
+
+
 def test_segs_sort_equals_lexsort():
     rng = np.random.RandomState(0)
     n, T, N = 5000, 37, 400
